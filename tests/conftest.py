@@ -1,0 +1,16 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "test multi-node without a cluster" approach
+(reference tests/test_srt_integration.c spawns an in-process peer): we
+test multi-chip sharding on host CPU devices via
+--xla_force_host_platform_device_count (see SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
