@@ -116,27 +116,30 @@ def pack_bits(values: np.ndarray, lengths: np.ndarray) -> bytes:
     values[i] holds the code for symbol i right-aligned; lengths[i] is its
     width in bits (0 = symbol absent, skipped). Purely vectorized.
     """
-    values = np.asarray(values, dtype=np.uint64)
-    lengths = np.asarray(lengths, dtype=np.int64)
     if values.shape != lengths.shape:
         raise ValueError("values/lengths shape mismatch")
     if lengths.size == 0:
         return b""
-    if lengths.max(initial=0) > _MAX_CODE_BITS:
+    # drop absent symbols first — in CAVLC slot streams the huge majority
+    # of entries are zero-length, and the expansion below is O(n * maxlen)
+    keep = lengths > 0
+    values = np.ascontiguousarray(values[keep]).astype(np.uint32, copy=False)
+    lengths = np.ascontiguousarray(lengths[keep]).astype(np.int32, copy=False)
+    if lengths.size == 0:
+        return b""
+    nbits_max = int(lengths.max())
+    if nbits_max > _MAX_CODE_BITS:
         raise ValueError("codes wider than 32 bits not supported")
 
-    total = int(lengths.sum())
     ends = np.cumsum(lengths)
+    total = int(ends[-1])
     starts = ends - lengths
 
-    nbits_max = int(lengths.max(initial=0))
     # bit k of symbol i (k = 0 is the MSB of that symbol's code)
-    k = np.arange(nbits_max, dtype=np.int64)
-    # shape (n, nbits_max)
+    k = np.arange(nbits_max, dtype=np.int32)
     shift = lengths[:, None] - 1 - k[None, :]
     valid = shift >= 0
-    shift_clipped = np.where(valid, shift, 0)
-    bits = ((values[:, None] >> shift_clipped.astype(np.uint64)) & 1).astype(np.uint8)
+    bits = ((values[:, None] >> np.where(valid, shift, 0)) & 1).astype(np.uint8)
     positions = starts[:, None] + k[None, :]
 
     bitarr = np.zeros((total + 7) // 8 * 8, dtype=np.uint8)

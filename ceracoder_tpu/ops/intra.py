@@ -119,11 +119,15 @@ def _encode_mb(ymb, umb, vmb, ly, lu, lv, has_left, qp, qp_c):
     dc_u, ac_u, recon_u = _encode_chroma_comp(umb, pred_u, qp_c)
     dc_v, ac_v, recon_v = _encode_chroma_comp(vmb, pred_v, qp_c)
 
+    # int16 keeps the host transfer small; quantized levels are bounded
+    # well inside int16 (<= ~3.7k at qp 0)
     out = dict(
-        dc_luma=dc_l, ac_luma=ac_l, mode_luma=mode_l,
-        dc_chroma=jnp.stack([dc_u, dc_v]),
-        ac_chroma=jnp.stack([ac_u, ac_v]),
-        mode_chroma=mode_c,
+        dc_luma=dc_l.astype(jnp.int16),
+        ac_luma=ac_l.astype(jnp.int16),
+        mode_luma=mode_l.astype(jnp.uint8),
+        dc_chroma=jnp.stack([dc_u, dc_v]).astype(jnp.int16),
+        ac_chroma=jnp.stack([ac_u, ac_v]).astype(jnp.int16),
+        mode_chroma=mode_c.astype(jnp.uint8),
         recon_y=recon_y.astype(jnp.uint8),
         recon_u=recon_u.astype(jnp.uint8),
         recon_v=recon_v.astype(jnp.uint8),
