@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+from ceracoder_tpu.utils.jaxenv import setup_jax
+
+setup_jax()
+
 
 def synth_1080p(seed=0):
     rng = np.random.default_rng(seed)

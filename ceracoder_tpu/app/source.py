@@ -1,0 +1,147 @@
+"""Frame sources — replaces the reference's GStreamer capture elements
+(v4l2src / camlink / hdmi / test patterns; SURVEY.md §2.6) with a
+file/procedural source abstraction suited to a TPU host."""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional, Protocol
+
+import numpy as np
+
+
+class FrameSource(Protocol):
+    width: int
+    height: int
+    fps_num: int
+    fps_den: int
+
+    def frames(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (y, u, v) uint8 planes in 4:2:0."""
+        ...
+
+
+@dataclass
+class TestPatternSource:
+    """Procedural moving test pattern (colour bars + scrolling gradient
+    + frame counter strip), analog of videotestsrc."""
+
+    __test__ = False  # not a pytest class despite the name
+
+    width: int = 1280
+    height: int = 720
+    fps_num: int = 30
+    fps_den: int = 1
+    num_frames: Optional[int] = None   # None = endless
+
+    def frames(self):
+        h, w = self.height, self.width
+        yy, xx = np.mgrid[0:h, 0:w]
+        bar = (xx * 8 // w)
+        bar_luma = np.array([235, 210, 170, 145, 106, 81, 41, 16], np.int32)
+        base_y = bar_luma[bar]
+        bar_cb = np.array([128, 16, 166, 54, 202, 90, 240, 128], np.int32)
+        bar_cr = np.array([128, 146, 16, 34, 222, 240, 110, 128], np.int32)
+        cs = (slice(None, None, 2), slice(None, None, 2))
+        i = 0
+        while self.num_frames is None or i < self.num_frames:
+            shift = (i * 4) % w
+            y = base_y.copy()
+            # scrolling gradient band in the middle third
+            band = slice(h // 3, 2 * h // 3)
+            y[band] = ((xx[band] + shift) * 255 // w)
+            # moving block (exercises motion estimation later)
+            bx = (i * 7) % (w - 64)
+            by = (h * 3 // 4)
+            y[by:by + 48, bx:bx + 64] = 255 if i % 2 == 0 else 16
+            u = bar_cb[bar][cs].copy()
+            v = bar_cr[bar][cs].copy()
+            yield (y.astype(np.uint8), u.astype(np.uint8),
+                   v.astype(np.uint8))
+            i += 1
+
+
+class Y4MFileSource:
+    """YUV4MPEG2 file reader (4:2:0 only)."""
+
+    def __init__(self, path: str | Path, loop: bool = False):
+        self.path = Path(path)
+        self.loop = loop
+        with open(self.path, "rb") as f:
+            header = f.readline().decode()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError("not a y4m file")
+        self.width = self.height = 0
+        self.fps_num, self.fps_den = 30, 1
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                self.width = int(tok[1:])
+            elif tok[0] == "H":
+                self.height = int(tok[1:])
+            elif tok[0] == "F":
+                n, d = tok[1:].split(":")
+                self.fps_num, self.fps_den = int(n), int(d)
+            elif tok[0] == "C" and not tok[1:].startswith("420"):
+                raise ValueError(f"unsupported chroma format {tok}")
+        if not self.width or not self.height:
+            raise ValueError("y4m missing dimensions")
+
+    def frames(self):
+        w, h = self.width, self.height
+        fsz = w * h * 3 // 2
+        while True:
+            with open(self.path, "rb") as f:
+                f.readline()
+                while True:
+                    line = f.readline()
+                    if not line:
+                        break
+                    if not line.startswith(b"FRAME"):
+                        raise ValueError("bad y4m frame marker")
+                    raw = f.read(fsz)
+                    if len(raw) < fsz:
+                        break
+                    a = np.frombuffer(raw, np.uint8)
+                    yield (a[:w * h].reshape(h, w),
+                           a[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
+                           a[w * h + w * h // 4:].reshape(h // 2, w // 2))
+            if not self.loop:
+                return
+
+
+class RawYuvSource:
+    """Raw planar yuv420p file reader (dimensions supplied)."""
+
+    def __init__(self, path: str | Path, width: int, height: int,
+                 fps_num: int = 30, fps_den: int = 1, loop: bool = False):
+        self.path = Path(path)
+        self.width, self.height = width, height
+        self.fps_num, self.fps_den = fps_num, fps_den
+        self.loop = loop
+
+    def frames(self):
+        w, h = self.width, self.height
+        fsz = w * h * 3 // 2
+        while True:
+            data = np.fromfile(self.path, np.uint8)
+            for i in range(data.size // fsz):
+                a = data[i * fsz:(i + 1) * fsz]
+                yield (a[:w * h].reshape(h, w),
+                       a[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
+                       a[w * h + w * h // 4:].reshape(h // 2, w // 2))
+            if not self.loop:
+                return
+
+
+def pad_to_mb(y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Edge-pad planes to 16-multiple dims (SPS cropping undoes it)."""
+    h, w = y.shape
+    ph, pw = (-h) % 16, (-w) % 16
+    if not ph and not pw:
+        return y, u, v
+    y = np.pad(y, ((0, ph), (0, pw)), mode="edge")
+    u = np.pad(u, ((0, ph // 2), (0, pw // 2)), mode="edge")
+    v = np.pad(v, ((0, ph // 2), (0, pw // 2)), mode="edge")
+    return y, u, v

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import functools
 
+from ceracoder_tpu.utils.jaxenv import setup_jax
+
+setup_jax()
+
 import jax
 import jax.numpy as jnp
 

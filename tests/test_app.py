@@ -1,0 +1,148 @@
+"""App-level tests: CLI parsing, jobspec, sources, QP rate control, and
+the end-to-end file pipeline."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ceracoder_tpu.app.cli import CliError, parse_args
+from ceracoder_tpu.app.jobspec import open_source, parse_jobspec
+from ceracoder_tpu.app.main import CeracoderApp
+from ceracoder_tpu.app.source import TestPatternSource, Y4MFileSource, pad_to_mb
+from ceracoder_tpu.control.qp_rate import QpRateController
+
+ORACLE = Path(__file__).resolve().parent.parent / "tools" / "decode_oracle"
+
+
+def test_cli_positional_and_flags():
+    o = parse_args(["job.ini", "example.com", "5000", "-l", "1500",
+                    "-s", "sid", "-r", "-a", "aimd", "-c", "cfg.ini"])
+    assert o.job_file == "job.ini"
+    assert o.addr == "example.com"
+    assert o.port == 5000
+    assert o.latency == 1500
+    assert o.stream_id == "sid"
+    assert o.reduced_pkt_size
+    assert o.balancer == "aimd"
+    assert o.config_file == "cfg.ini"
+
+
+@pytest.mark.parametrize("argv", [
+    [],
+    ["only_two", "args"],
+    ["a", "b", "not_a_port"],
+    ["a", "b", "5000", "-l", "50"],       # latency below 100
+    ["a", "b", "5000", "-x"],
+])
+def test_cli_rejects_bad_args(argv):
+    with pytest.raises(SystemExit):
+        parse_args(argv)
+
+
+def test_jobspec_parse(tmp_path):
+    p = tmp_path / "job.ini"
+    p.write_text("""
+[source]
+kind = test
+width = 640
+height = 360
+fps = 30000:1001
+
+[encode]
+codec = h264
+gop = 30
+""")
+    spec = parse_jobspec(p)
+    assert spec.kind == "test"
+    assert (spec.width, spec.height) == (640, 360)
+    assert (spec.fps_num, spec.fps_den) == (30000, 1001)
+    assert spec.gop_frames == 30
+    src = open_source(spec)
+    y, u, v = next(iter(src.frames()))
+    assert y.shape == (360, 640)
+    assert u.shape == (180, 320)
+
+
+def test_jobspec_default_gop_is_2s():
+    spec = parse_jobspec.__wrapped__ if hasattr(parse_jobspec, "__wrapped__") \
+        else None
+    from ceracoder_tpu.app.jobspec import JobSpec
+    assert JobSpec(fps_num=30).gop_frames == 60
+    assert JobSpec(fps_num=25).gop_frames == 50
+
+
+def test_test_pattern_moves():
+    src = TestPatternSource(width=128, height=96, num_frames=3)
+    frames = [f for f in src.frames()]
+    assert len(frames) == 3
+    assert not np.array_equal(frames[0][0], frames[1][0])
+
+
+def test_y4m_roundtrip(tmp_path):
+    w, h = 64, 48
+    rng = np.random.default_rng(0)
+    planes = [rng.integers(0, 256, w * h * 3 // 2).astype(np.uint8)
+              for _ in range(2)]
+    p = tmp_path / "t.y4m"
+    with open(p, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F25:1 Ip A1:1 C420jpeg\n")
+        for pl in planes:
+            f.write(b"FRAME\n" + pl.tobytes())
+    src = Y4MFileSource(p)
+    assert (src.width, src.height) == (64, 48)
+    assert (src.fps_num, src.fps_den) == (25, 1)
+    frames = list(src.frames())
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][0].reshape(-1), planes[0][:w * h])
+
+
+def test_pad_to_mb():
+    y = np.zeros((180, 320), np.uint8)
+    u = np.zeros((90, 160), np.uint8)
+    v = np.zeros((90, 160), np.uint8)
+    py, pu, pv = pad_to_mb(y, u, v)
+    assert py.shape == (192, 320)
+    assert pu.shape == (96, 160)
+
+
+def test_qp_rate_controller_converges():
+    """Feed a synthetic R(qp) model; QP should settle near the value
+    that hits the target bits."""
+    ctl = QpRateController(fps=30.0, qp=40.0)
+    bitrate = 4_000_000
+
+    def produced(qp):  # model: 8 Mbps at qp 30, halving every 6 qp
+        return 8_000_000 / 30 * 2 ** (-(qp - 30) / 6)
+
+    for _ in range(60):
+        qp = ctl.update(bitrate, int(produced(ctl.qp)))
+    # exact solution: qp = 30 + 6*log2(8/4) = 36
+    assert 34 <= qp <= 38
+    target = bitrate / 30
+    assert abs(produced(ctl.qp) - target) / target < 0.3
+
+
+def test_qp_rate_slew_limited():
+    ctl = QpRateController(fps=30.0, qp=30.0)
+    ctl.update(1_000_000, 100_000_000 * 8)  # absurd overshoot
+    assert ctl.qp <= 33.0  # clamped by max_step
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+def test_app_end_to_end_file(tmp_path):
+    job = tmp_path / "job.ini"
+    job.write_text("[source]\nkind = test\nwidth = 192\nheight = 108\n"
+                   "fps = 30\n")
+    out = tmp_path / "out.ts"
+    opts = parse_args([str(job), str(out), "0"])
+    app = CeracoderApp(opts, max_frames=5, realtime=False)
+    assert app.run() == 0
+    assert app.frames_sent == 5
+    r = subprocess.run([str(ORACLE), str(out), str(tmp_path / "o.yuv")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0
+    assert "width=192 height=108" in r.stderr
+    raw = np.fromfile(tmp_path / "o.yuv", np.uint8)
+    assert raw.size >= 5 * 192 * 108 * 3 // 2
