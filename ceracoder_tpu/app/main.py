@@ -150,7 +150,8 @@ class CeracoderApp:
         h = (self.source.height + 15) // 16 * 16
         self.encoder = H264Encoder(w, h, qp=self.rate.current_qp,
                                    fps_num=self.source.fps_num,
-                                   fps_den=self.source.fps_den)
+                                   fps_den=self.source.fps_den,
+                                   gop=self.spec.gop_frames)
         self.encoder.sps.width = self.source.width
         self.encoder.sps.height = self.source.height
         self.mux = TsMuxer()
@@ -262,10 +263,13 @@ class CeracoderApp:
                 y, u, v = pad_to_mb(y, u, v)
                 qp = self.rate.current_qp
                 frame = self.encoder.encode_frame(y, u, v, qp=qp)
-                au = self.encoder.headers() + frame.data
+                au = frame.data
+                if frame.keyframe:
+                    au = self.encoder.headers() + au
                 self.rate.update(self.cur_bitrate, len(frame.data) * 8)
 
-                ts = self.mux.mux_video(au, pts90=pts, keyframe=True)
+                ts = self.mux.mux_video(au, pts90=pts,
+                                        keyframe=frame.keyframe)
                 pts += int(90000 * self.source.fps_den / self.source.fps_num)
                 for payload in self.packer.feed(ts):
                     if not self.transport.send(payload):

@@ -25,6 +25,7 @@ from ceracoder_tpu.codec.h264.syntax import (
     NAL_IDR,
     NAL_SLICE,
     SLICE_I_ALL,
+    SLICE_P_ALL,
     PpsConfig,
     SliceConfig,
     SpsConfig,
@@ -32,7 +33,9 @@ from ceracoder_tpu.codec.h264.syntax import (
     write_sps,
     write_slice_header,
 )
+from ceracoder_tpu.codec.h264.cavlc_tables import CBP_INTER_TO_CODE
 from ceracoder_tpu.ops.intra import encode_frame_i16_rows
+from ceracoder_tpu.ops.inter import encode_frame_p
 from ceracoder_tpu.ops.transform import chroma_qp
 
 # raster index of each luma 4x4 block in coding (snake) order, as
@@ -46,6 +49,8 @@ S = cavlc.BLOCK_SLOTS
 # symbol layout per MB: 3 header syms + DC + 16 luma AC + 2 chroma DC
 # + 8 chroma AC residual blocks
 MB_SLOTS = 3 + S * (1 + 16 + 2 + 8)
+# P-MB layout: skip_run, mb_type, mvd_x, mvd_y, cbp, qp_delta + 26 blocks
+P_MB_SLOTS = 6 + S * (16 + 2 + 8)
 
 
 def _ue_arr(v):
@@ -53,6 +58,11 @@ def _ue_arr(v):
     code = v + 1
     nbits = 2 * (np.floor(np.log2(code)).astype(np.int64)) + 1
     return code.astype(np.uint32), nbits.astype(np.int32)
+
+
+def _se_arr(v):
+    v = np.asarray(v, np.int64)
+    return _ue_arr(np.where(v > 0, 2 * v - 1, -2 * v))
 
 
 def _neighbor_nc(nnz: np.ndarray, rows_per_mb: int,
@@ -104,13 +114,14 @@ class H264Encoder:
 
     def __init__(self, width: int, height: int, qp: int = 28,
                  fps_num: int = 0, fps_den: int = 1,
-                 chroma_qp_offset: int = 0):
+                 chroma_qp_offset: int = 0, gop: int = 1):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")
         self.width, self.height = width, height
         self.mbw, self.mbh = width // 16, height // 16
         self.qp = qp
+        self.gop = max(1, gop)          # 1 = all-intra
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
                              fps_num=fps_num, fps_den=fps_den)
@@ -118,24 +129,47 @@ class H264Encoder:
                              chroma_qp_index_offset=chroma_qp_offset)
         self.frame_idx = 0
         self.idr_pic_id = 0
+        self.frame_num = 0              # reference-frame counter
+        self._gop_pos = 0
+        self._ref = None                # previous recon, device arrays
 
     def headers(self) -> bytes:
         return write_sps(self.sps) + write_pps(self.pps)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int | None = None) -> EncodedFrame:
+                     qp: int | None = None,
+                     force_idr: bool = False) -> EncodedFrame:
         qp = self.qp if qp is None else qp
         qp_c = chroma_qp(qp, self.chroma_qp_offset)
         import jax.numpy as jnp
-        outs = encode_frame_i16_rows(jnp.asarray(y), jnp.asarray(u),
-                                     jnp.asarray(v), qp, qp_c)
-        outs = {k: np.asarray(o) if not isinstance(o, tuple) else
-                tuple(np.asarray(x) for x in o) for k, o in outs.items()}
-        data = self._assemble(outs, qp)
-        frame = EncodedFrame(data=data, recon=outs["recon"], keyframe=True,
-                             qp=qp)
+        idr = force_idr or self._ref is None or self._gop_pos >= self.gop
+
+        if idr:
+            outs = encode_frame_i16_rows(jnp.asarray(y), jnp.asarray(u),
+                                         jnp.asarray(v), qp, qp_c)
+            self._ref = outs["recon"]
+            outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
+                       tuple(np.asarray(x) for x in o)
+                       for k, o in outs.items()}
+            data = self._assemble(outs_np, qp)
+            self.frame_num = 1          # IDR was frame_num 0
+            self._gop_pos = 1
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+        else:
+            outs = encode_frame_p(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v), *self._ref, qp, qp_c)
+            self._ref = outs["recon"]
+            outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
+                       tuple(np.asarray(x) for x in o)
+                       for k, o in outs.items()}
+            data = self._assemble_p(outs_np, qp, self.frame_num)
+            self.frame_num = (self.frame_num + 1) % (
+                1 << self.sps.log2_max_frame_num)
+            self._gop_pos += 1
+
+        frame = EncodedFrame(data=data, recon=outs_np["recon"],
+                             keyframe=idr, qp=qp)
         self.frame_idx += 1
-        self.idr_pic_id = (self.idr_pic_id + 1) % 16
         return frame
 
     # ------------------------------------------------------------------
@@ -244,5 +278,142 @@ class H264Encoder:
             payload = pack_bits(np.concatenate([rv, stop_v]),
                                 np.concatenate([rl, stop_l]))
             nals.append(nal_unit(3, NAL_IDR, payload,
+                                 long_start_code=(row == 0)))
+        return b"".join(nals)
+
+    # ------------------------------------------------------------------
+    def _assemble_p(self, outs: dict, qp: int, frame_num: int) -> bytes:
+        """P-slice assembly: P_L0_16x16 + P_Skip, one slice per MB row
+        (spec 7.3.4/7.4.4; MV prediction 8.4.1.3 under slice-row
+        neighbor availability)."""
+        mbh, mbw = self.mbh, self.mbw
+        n = mbh * mbw
+        S_ = S
+
+        mvg = outs["mv"].astype(np.int64)               # (mbh, mbw, 2) dy,dx
+        ll = outs["luma_levels"].reshape(mbh, mbw, 4, 4, 16)
+        dc_chroma = outs["dc_chroma"]                   # (mbh, mbw, 2, 4)
+        ac_chroma = outs["ac_chroma"]                   # (mbh, mbw, 2, 2, 2, 15)
+
+        # --- coded block pattern
+        nz44 = (ll != 0).any(-1)                        # (mbh, mbw, 4, 4)
+        qbits = np.zeros((mbh, mbw, 4), np.int64)
+        for q in range(4):
+            r0, c0 = 2 * (q // 2), 2 * (q % 2)
+            qbits[..., q] = nz44[:, :, r0:r0 + 2, c0:c0 + 2].any((-1, -2))
+        cbp_luma = (qbits << np.arange(4)).sum(-1)      # (mbh, mbw)
+        any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+        any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+        cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        # --- MV prediction (slice-row: top/topright unavailable =>
+        # pmv = left MB's mv, 0 for the first MB; spec 8.4.1.3.1)
+        pmv = np.zeros_like(mvg)
+        pmv[:, 1:] = mvg[:, :-1]
+        # mvd is coded in QUARTER-pel units (spec 7.4.5.1); our ME works
+        # in full-pel, so scale the delta by 4
+        mvd = (mvg - pmv) * 4
+
+        # --- P_Skip: mv equals the skip predictor (always (0,0) with the
+        # top row unavailable, spec 8.4.1.1) and cbp == 0
+        skip = (mvg[..., 0] == 0) & (mvg[..., 1] == 0) & (cbp == 0)
+
+        # mb_skip_run before each non-skip MB (per slice = per row)
+        run_val = np.zeros((mbh, mbw), np.int64)
+        trailing = np.zeros(mbh, np.int64)
+        for r in range(mbh):
+            idx = np.nonzero(~skip[r])[0]
+            prev = np.concatenate([[-1], idx[:-1]])
+            run_val[r, idx] = idx - prev - 1
+            trailing[r] = mbw - 1 - (idx[-1] if idx.size else -1)
+
+        coded = ~skip.reshape(n)
+
+        # --- nC from 16-coeff TotalCoeffs
+        nnz = (ll != 0).sum(-1)                         # (mbh, mbw, 4, 4)
+        grid = nnz.swapaxes(1, 2).reshape(mbh * 4, mbw * 4)
+        nc_luma = _neighbor_nc(grid, 4, same_row_only=True)
+        nc_grid = nc_luma.reshape(mbh, 4, mbw, 4).swapaxes(1, 2)
+
+        snake_r, snake_c = LUMA_SNAKE[:, 0], LUMA_SNAKE[:, 1]
+        blocks = ll[:, :, snake_r, snake_c].reshape(n * 16, 16)
+        nc_blk = nc_grid[:, :, snake_r, snake_c].reshape(n * 16)
+        v_l, l_l, _ = cavlc.encode_blocks(blocks, nc_blk, 16)
+        # mask: block coded iff its quadrant bit set and MB not skipped
+        blk_q = np.arange(16) // 4                      # snake: 4 per 8x8
+        blk_coded = (qbits.reshape(n, 4)[:, blk_q] > 0) & coded[:, None]
+        l_l = l_l.reshape(n, 16, S_) * blk_coded[:, :, None]
+
+        cdc = dc_chroma.reshape(n * 2, 4)
+        v_cdc, l_cdc, _ = cavlc.encode_blocks(cdc, np.full(n * 2, -1), 4)
+        l_cdc = (l_cdc.reshape(n, 2, S_)
+                 * ((cbp_chroma.reshape(n) > 0) & coded)[:, None, None])
+
+        chroma_nnz = (ac_chroma != 0).sum(-1)
+        nc_cac = np.empty((2, mbh * 2, mbw * 2), np.int64)
+        for comp in range(2):
+            g = chroma_nnz[:, :, comp].swapaxes(1, 2).reshape(mbh * 2, mbw * 2)
+            nc_cac[comp] = _neighbor_nc(g, 2, same_row_only=True)
+        nc_cac_g = np.stack([nc_cac[c].reshape(mbh, 2, mbw, 2).swapaxes(1, 2)
+                             for c in range(2)])
+        nc_cac_flat = nc_cac_g.transpose(1, 2, 0, 3, 4).reshape(n * 8)
+        cac = ac_chroma.reshape(n * 8, 15)
+        v_cac, l_cac, _ = cavlc.encode_blocks(cac, nc_cac_flat, 15)
+        l_cac = (l_cac.reshape(n, 8, S_)
+                 * ((cbp_chroma.reshape(n) == 2) & coded)[:, None, None])
+
+        # --- header symbols
+        v_run, l_run = _ue_arr(run_val.reshape(n))
+        v_mt, l_mt = _ue_arr(np.zeros(n, np.int64))     # P_L0_16x16
+        v_mvx, l_mvx = _se_arr(mvd[..., 1].reshape(n))  # x first
+        v_mvy, l_mvy = _se_arr(mvd[..., 0].reshape(n))
+        cbp_code = CBP_INTER_TO_CODE[cbp.reshape(n)]
+        v_cbp, l_cbp = _ue_arr(cbp_code)
+        has_qpd = (cbp.reshape(n) > 0)
+
+        vals = np.zeros((n, P_MB_SLOTS), np.uint32)
+        lens = np.zeros((n, P_MB_SLOTS), np.int32)
+        vals[:, 0], lens[:, 0] = v_run, l_run * coded
+        vals[:, 1], lens[:, 1] = v_mt, l_mt * coded
+        vals[:, 2], lens[:, 2] = v_mvx, l_mvx * coded
+        vals[:, 3], lens[:, 3] = v_mvy, l_mvy * coded
+        vals[:, 4], lens[:, 4] = v_cbp, l_cbp * coded
+        vals[:, 5] = 1                                  # se(0)
+        lens[:, 5] = (has_qpd & coded).astype(np.int32)
+        o = 6
+        vals[:, o:o + 16 * S_] = v_l.reshape(n, 16 * S_)
+        lens[:, o:o + 16 * S_] = l_l.reshape(n, 16 * S_)
+        o += 16 * S_
+        vals[:, o:o + 2 * S_] = v_cdc.reshape(n, 2 * S_)
+        lens[:, o:o + 2 * S_] = l_cdc.reshape(n, 2 * S_)
+        o += 2 * S_
+        vals[:, o:o + 8 * S_] = v_cac.reshape(n, 8 * S_)
+        lens[:, o:o + 8 * S_] = l_cac.reshape(n, 8 * S_)
+
+        vals = vals.reshape(mbh, mbw * P_MB_SLOTS)
+        lens = lens.reshape(mbh, mbw * P_MB_SLOTS)
+
+        nals = []
+        for row in range(mbh):
+            hdr = write_slice_header(SliceConfig(
+                first_mb=row * mbw, slice_type=SLICE_P_ALL,
+                frame_num=frame_num, idr=False, qp=qp,
+                pic_init_qp=self.pps.pic_init_qp))
+            hv, hl = hdr.arrays()
+            parts_v = [hv.astype(np.uint32), vals[row]]
+            parts_l = [hl, lens[row]]
+            if trailing[row] > 0:
+                tv, tl = _ue_arr(np.array([trailing[row]]))
+                parts_v.append(tv)
+                parts_l.append(tl)
+            rv = np.concatenate(parts_v)
+            rl = np.concatenate(parts_l)
+            total = int(rl.sum())
+            pad = (-(total + 1)) % 8
+            rv = np.concatenate([rv, np.array([1 << pad], np.uint32)])
+            rl = np.concatenate([rl, np.array([1 + pad], np.int32)])
+            payload = pack_bits(rv, rl)
+            nals.append(nal_unit(2, NAL_SLICE, payload,
                                  long_start_code=(row == 0)))
         return b"".join(nals)
