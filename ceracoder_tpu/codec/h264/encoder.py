@@ -311,9 +311,8 @@ class H264Encoder:
         # pmv = left MB's mv, 0 for the first MB; spec 8.4.1.3.1)
         pmv = np.zeros_like(mvg)
         pmv[:, 1:] = mvg[:, :-1]
-        # mvd is coded in QUARTER-pel units (spec 7.4.5.1); our ME works
-        # in full-pel, so scale the delta by 4
-        mvd = (mvg - pmv) * 4
+        # mv/mvd are in quarter-pel units throughout (spec 7.4.5.1)
+        mvd = mvg - pmv
 
         # --- P_Skip: mv equals the skip predictor (always (0,0) with the
         # top row unavailable, spec 8.4.1.1) and cbp == 0

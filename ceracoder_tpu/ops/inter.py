@@ -125,45 +125,116 @@ def motion_search_fullpel(cur: jnp.ndarray, ref: jnp.ndarray,
     return mv.astype(jnp.int32), sad.astype(jnp.int32)
 
 
-def mc_luma_fullpel(ref: jnp.ndarray, mv: jnp.ndarray):
-    """Motion-compensated luma prediction for integer MVs.
+_PAD = 64  # edge padding for unrestricted MVs (spec clips refs to edge)
 
-    ref: (H, W); mv: (mbh, mbw, 2) full-pel. Returns (mbh, mbw, 16, 16).
+
+def half_pel_planes(ref: jnp.ndarray):
+    """Spec 8.4.2.2.1 6-tap half-sample interpolation.
+
+    ref: (H, W) int/uint. Returns four (H+2*_PAD, W+2*_PAD) int32
+    planes: integer, half-horizontal (b), half-vertical (h), and
+    half-diagonal (j, filtered from unrounded horizontal intermediates).
+    Index [y, x] of each plane is the sample at full-pel (y, x) plus
+    (0,0) / (0,+1/2) / (+1/2,0) / (+1/2,+1/2).
     """
-    h, w = ref.shape
-    mbh, mbw = h // 16, w // 16
-    pad = 256  # generous MV clamp window
-    ref_pad = jnp.pad(ref.astype(jnp.int32), pad, mode="edge")
+    p = jnp.pad(ref.astype(jnp.int32), _PAD + 3, mode="edge")
+
+    def tap6(a):  # along last axis; out[k] filters a[k..k+5]
+        return (a[..., 0:-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+                + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+    # p[y + _PAD + 3, x + _PAD + 3] == ref[y, x] (edge-clamped); the
+    # half-sample right of x filters ref[x-2..x+3] = tap6 col x+_PAD+1,
+    # so drop the first output column to align plane[.., _PAD+x].
+    bx = tap6(p)                                  # (H+2P+6, W+2P+1)
+    b_plane = jnp.clip((bx[3:-3, 1:] + 16) >> 5, 0, 255)
+
+    hy = tap6(p.T).T                              # (H+2P+1, W+2P+6)
+    h_plane = jnp.clip((hy[1:, 3:-3] + 16) >> 5, 0, 255)
+
+    # j: vertical 6-tap over the unrounded horizontal intermediates
+    jxy = tap6(bx[:, 1:].T).T                     # (H+2P+1, W+2P)
+    j_plane = jnp.clip((jxy[1:, :] + 512) >> 10, 0, 255)
+
+    i_plane = p[3:-3, 3:-3]
+    return i_plane, b_plane, h_plane, j_plane
+
+
+def mc_luma_qpel(planes, mv: jnp.ndarray):
+    """Luma MC for quarter-pel MVs restricted to half-pel positions
+    (mv quarter-pel components must be even).
+
+    planes: output of half_pel_planes; mv: (mbh, mbw, 2) quarter-pel.
+    Returns (mbh, mbw, 16, 16) int32 predictions.
+    """
+    i_p, b_p, h_p, j_p = planes
+    hp = i_p.shape[0] - 2 * _PAD
+    wp = i_p.shape[1] - 2 * _PAD
+    mbh, mbw = hp // 16, wp // 16
+    stacked = jnp.stack([i_p, b_p, h_p, j_p])    # (4, H+2P, W+2P)
     by = jnp.broadcast_to(jnp.arange(mbh)[:, None] * 16, (mbh, mbw))
     bx = jnp.broadcast_to(jnp.arange(mbw)[None, :] * 16, (mbh, mbw))
 
     def one(base_y, base_x, m):
-        return jax.lax.dynamic_slice(
-            ref_pad, (base_y + m[0] + pad, base_x + m[1] + pad), (16, 16))
+        iy = base_y + (m[0] >> 2) + _PAD
+        ix = base_x + (m[1] >> 2) + _PAD
+        fy = (m[0] >> 1) & 1
+        fx = (m[1] >> 1) & 1
+        sel = fy * 2 + fx
+        return jax.lax.dynamic_slice(stacked, (sel, iy, ix), (1, 16, 16))[0]
 
     return jax.vmap(jax.vmap(one))(by, bx, mv)
 
 
-def mc_chroma(ref_c: jnp.ndarray, mv: jnp.ndarray):
+def halfpel_refine(cur_mb, planes, mv_full):
+    """Refine full-pel MVs over the 8 half-pel neighbors by SAD.
+
+    cur_mb: (mbh, mbw, 16, 16) int32; mv_full: (mbh, mbw, 2) full-pel.
+    Returns quarter-pel mv (mbh, mbw, 2) with even components.
+    """
+    mbh, mbw = mv_full.shape[:2]
+    mv_q = mv_full * 4
+    cands = jnp.array([[0, 0], [0, 2], [0, -2], [2, 0], [-2, 0],
+                       [2, 2], [2, -2], [-2, 2], [-2, -2]], jnp.int32)
+    stacked = jnp.stack(planes)
+    by = jnp.broadcast_to(jnp.arange(mbh)[:, None] * 16, (mbh, mbw))
+    bx = jnp.broadcast_to(jnp.arange(mbw)[None, :] * 16, (mbh, mbw))
+
+    def one(c, base_y, base_x, m):
+        def sad_at(off):
+            mm = m + off
+            iy = base_y + (mm[0] >> 2) + _PAD
+            ix = base_x + (mm[1] >> 2) + _PAD
+            sel = ((mm[0] >> 1) & 1) * 2 + ((mm[1] >> 1) & 1)
+            pred = jax.lax.dynamic_slice(stacked, (sel, iy, ix),
+                                         (1, 16, 16))[0]
+            return jnp.abs(c - pred).sum()
+        sads = jax.vmap(sad_at)(cands)
+        return m + cands[jnp.argmin(sads)]
+
+    return jax.vmap(jax.vmap(one))(cur_mb, by, bx, mv_q)
+
+
+def mc_chroma(ref_c: jnp.ndarray, mv_q: jnp.ndarray):
     """Chroma MC with eighth-pel bilinear (spec 8.4.2.2.2).
 
-    ref_c: (H/2, W/2); mv: (mbh, mbw, 2) in full-pel LUMA units. The
-    chroma vector is mv/2 in chroma samples = mv*4 in eighth-pel units;
-    for integer luma MVs xFrac/yFrac are 0 or 4.
+    ref_c: (H/2, W/2); mv_q: (mbh, mbw, 2) in QUARTER-pel luma units,
+    which for 4:2:0 are eighth-pel chroma units directly:
+    integer chroma offset = mv >> 3, fraction = mv & 7.
     Returns (mbh, mbw, 8, 8) int32 predictions.
     """
     hc, wc = ref_c.shape
     mbh, mbw = hc // 8, wc // 8
-    pad = 256
+    pad = _PAD
     ref_pad = jnp.pad(ref_c.astype(jnp.int32), pad, mode="edge")
     by = jnp.broadcast_to(jnp.arange(mbh)[:, None] * 8, (mbh, mbw))
     bx = jnp.broadcast_to(jnp.arange(mbw)[None, :] * 8, (mbh, mbw))
 
     def one(base_y, base_x, m):
-        cy = base_y + (m[0] >> 1) + pad          # integer chroma offset
-        cx = base_x + (m[1] >> 1) + pad
-        yf = (m[0] & 1) * 4                      # eighth-pel fractions
-        xf = (m[1] & 1) * 4
+        cy = base_y + (m[0] >> 3) + pad          # integer chroma offset
+        cx = base_x + (m[1] >> 3) + pad
+        yf = m[0] & 7                            # eighth-pel fractions
+        xf = m[1] & 7
         block = jax.lax.dynamic_slice(ref_pad, (cy, cx), (9, 9))
         a = block[:8, :8]
         b = block[:8, 1:9]
@@ -172,7 +243,7 @@ def mc_chroma(ref_c: jnp.ndarray, mv: jnp.ndarray):
         return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
                 + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
 
-    return jax.vmap(jax.vmap(one))(by, bx, mv)
+    return jax.vmap(jax.vmap(one))(by, bx, mv_q)
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "qp_c"))
@@ -185,10 +256,11 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
     h, w = y.shape
     mbh, mbw = h // 16, w // 16
 
-    mv, sad = motion_search_fullpel(y, ref_y)
-
-    pred_y = mc_luma_fullpel(ref_y, mv)                 # (mbh,mbw,16,16)
+    mv_full, sad = motion_search_fullpel(y, ref_y)
     cur_y = _mb_view(y.astype(jnp.int32))
+    planes = half_pel_planes(ref_y)
+    mv = halfpel_refine(cur_y, planes, mv_full)         # quarter-pel
+    pred_y = mc_luma_qpel(planes, mv)                   # (mbh,mbw,16,16)
     res_y = cur_y - pred_y
     blocks = to_blocks4(res_y)                          # (mbh,mbw,4,4,4,4)
     wcoef = fdct4(blocks)

@@ -139,7 +139,7 @@ def test_chroma_mc_halfpel_bilinear():
     ref = np.tile(ref, (2, 2))  # 16x16 chroma plane = 2x2 MBs? use 1 MB
     ref = ref[:8, :8]
     import jax.numpy as jnp
-    mv = jnp.array([[[1, 1]]], jnp.int32)  # half-pel in chroma
+    mv = jnp.array([[[4, 4]]], jnp.int32)  # quarter-pel units: half-pel luma
     out = np.asarray(mc_chroma(jnp.asarray(ref), mv))[0, 0]
     # manual bilinear at (0.5, 0.5) with spec rounding
     pad = np.pad(ref.astype(int), ((0, 1), (0, 1)), mode="edge")
@@ -149,3 +149,33 @@ def test_chroma_mc_halfpel_bilinear():
     d = pad[1:9, 1:9]
     expect = (16 * a + 16 * b + 16 * c + 16 * d + 32) >> 6
     assert np.array_equal(out, expect)
+
+
+def test_halfpel_subpixel_motion_bit_exact(tmp_path):
+    """Content drifting 0.5 px/frame: the half-pel path must engage and
+    still decode bit-exact (proves the 6-tap planes match spec
+    8.4.2.2.1)."""
+    w, h = 128, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def frame_at(t):
+        y = 128 + 60 * np.sin((xx - 0.5 * t) / 5.0) \
+            * np.cos((yy - 0.5 * t) / 7.0)
+        return (y.clip(0, 255).astype(np.uint8),
+                np.full((h // 2, w // 2), 120, np.uint8),
+                np.full((h // 2, w // 2), 135, np.uint8))
+
+    frames = [frame_at(i) for i in range(5)]
+    data, recons, _ = encode_seq(frames, w, h, 24, 10)
+    decode_and_compare(data, recons, w, h, tmp_path)
+
+    # the chosen MVs must actually be fractional
+    import jax.numpy as jnp
+    from ceracoder_tpu.ops.inter import encode_frame_p
+    from ceracoder_tpu.ops.transform import chroma_qp
+    outs = encode_frame_p(jnp.asarray(frames[1][0]), jnp.asarray(frames[1][1]),
+                          jnp.asarray(frames[1][2]), jnp.asarray(frames[0][0]),
+                          jnp.asarray(frames[0][1]), jnp.asarray(frames[0][2]),
+                          24, chroma_qp(24))
+    mv = np.asarray(outs["mv"])
+    assert (mv % 4 != 0).mean() > 0.5
