@@ -114,7 +114,8 @@ class H264Encoder:
 
     def __init__(self, width: int, height: int, qp: int = 28,
                  fps_num: int = 0, fps_den: int = 1,
-                 chroma_qp_offset: int = 0, gop: int = 1):
+                 chroma_qp_offset: int = 0, gop: int = 1,
+                 deblock: bool = True):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")
@@ -122,6 +123,7 @@ class H264Encoder:
         self.mbw, self.mbh = width // 16, height // 16
         self.qp = qp
         self.gop = max(1, gop)          # 1 = all-intra
+        self.deblock = deblock
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
                              fps_num=fps_num, fps_den=fps_den)
@@ -147,6 +149,13 @@ class H264Encoder:
         if idr:
             outs = encode_frame_i16_rows(jnp.asarray(y), jnp.asarray(u),
                                          jnp.asarray(v), qp, qp_c)
+            if self.deblock:
+                from ceracoder_tpu.ops.deblock import deblock_frame_rows
+                zero_nnz = jnp.zeros((self.mbh, self.mbw, 4, 4), jnp.int32)
+                zero_mv = jnp.zeros((self.mbh, self.mbw, 2), jnp.int32)
+                outs["recon"] = deblock_frame_rows(
+                    *outs["recon"], zero_nnz, zero_mv, qp, qp_c,
+                    intra_frame=True)
             self._ref = outs["recon"]
             outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
                        tuple(np.asarray(x) for x in o)
@@ -158,6 +167,12 @@ class H264Encoder:
         else:
             outs = encode_frame_p(jnp.asarray(y), jnp.asarray(u),
                                   jnp.asarray(v), *self._ref, qp, qp_c)
+            if self.deblock:
+                from ceracoder_tpu.ops.deblock import deblock_frame_rows
+                nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
+                outs["recon"] = deblock_frame_rows(
+                    *outs["recon"], nnz44, outs["mv"], qp, qp_c,
+                    intra_frame=False)
             self._ref = outs["recon"]
             outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
                        tuple(np.asarray(x) for x in o)
@@ -266,7 +281,8 @@ class H264Encoder:
             hdr = write_slice_header(SliceConfig(
                 first_mb=row * mbw, slice_type=SLICE_I_ALL, frame_num=0,
                 idr=True, idr_pic_id=self.idr_pic_id, qp=qp,
-                pic_init_qp=self.pps.pic_init_qp))
+                pic_init_qp=self.pps.pic_init_qp,
+                deblock_idc=2 if self.deblock else 1))
             hv, hl = hdr.arrays()
             rv = np.concatenate([hv.astype(np.uint32), vals[row]])
             rl = np.concatenate([hl, lens[row]])
@@ -398,7 +414,8 @@ class H264Encoder:
             hdr = write_slice_header(SliceConfig(
                 first_mb=row * mbw, slice_type=SLICE_P_ALL,
                 frame_num=frame_num, idr=False, qp=qp,
-                pic_init_qp=self.pps.pic_init_qp))
+                pic_init_qp=self.pps.pic_init_qp,
+                deblock_idc=2 if self.deblock else 1))
             hv, hl = hdr.arrays()
             parts_v = [hv.astype(np.uint32), vals[row]]
             parts_l = [hl, lens[row]]

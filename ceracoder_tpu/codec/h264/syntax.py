@@ -139,7 +139,9 @@ class SliceConfig:
     qp: int = 26
     pic_init_qp: int = 26
     log2_max_frame_num: int = 8
-    disable_deblocking: bool = True
+    # disable_deblocking_filter_idc: 0 = on, 1 = off, 2 = on but not
+    # across slice boundaries (the slice-row schedule's mode)
+    deblock_idc: int = 1
     deblocking_filter_control_present: bool = True
     num_ref_idx_active_minus1: int = 0
 
@@ -167,10 +169,8 @@ def write_slice_header(cfg: SliceConfig) -> BitWriter:
         w.flag(False)              # adaptive_ref_pic_marking_mode_flag
     w.se(cfg.qp - cfg.pic_init_qp)  # slice_qp_delta
     if cfg.deblocking_filter_control_present:
-        if cfg.disable_deblocking:
-            w.ue(1)
-        else:
-            w.ue(0)
+        w.ue(cfg.deblock_idc)
+        if cfg.deblock_idc != 1:
             w.se(0)                # slice_alpha_c0_offset_div2
             w.se(0)                # slice_beta_offset_div2
     return w

@@ -51,17 +51,25 @@ def _sad(a, b):
     return jnp.abs(a - b).sum()
 
 
-def _encode_luma_mb(orig, left_col, has_left, qp):
+def _encode_luma_mb(orig, left_col, qp):
     """One 16x16 luma MB given the left neighbor's recon column.
+
+    A borderless (column-0) MB is fed an all-128 left column instead of a
+    conditional: its DC predictor is then exactly the spec's 128, and H
+    mode loses the strict-< SAD tie so DC is signalled. This keeps the
+    whole MB uniform data flow — no scalar branch inside the scan (which
+    the axon XLA backend was observed to miscompile by duplicating the
+    where() with inconsistent results between the levels and recon
+    consumers).
 
     Returns (dc_levels(16), ac_levels(4,4,15), mode, recon(16,16)).
     """
     orig = orig.astype(jnp.int32)
     pred_h = jnp.broadcast_to(left_col[:, None], (16, 16)).astype(jnp.int32)
     dc_left = (left_col.astype(jnp.int32).sum() + 8) >> 4
-    pred_dc = jnp.full((16, 16), jnp.where(has_left, dc_left, 128), jnp.int32)
+    pred_dc = jnp.full((16, 16), dc_left, jnp.int32)
 
-    use_h = has_left & (_sad(orig, pred_h) < _sad(orig, pred_dc))
+    use_h = _sad(orig, pred_h) < _sad(orig, pred_dc)
     pred = jnp.where(use_h, pred_h, pred_dc)
     mode = jnp.where(use_h, LUMA_H, LUMA_DC)
 
@@ -78,16 +86,17 @@ def _encode_luma_mb(orig, left_col, has_left, qp):
     return dc_levels, ac_levels, mode, recon
 
 
-def _chroma_pred(left, has_left):
-    """8x8 chroma prediction for H and DC modes (spec 8.3.4), left-only."""
+def _chroma_pred(left):
+    """8x8 chroma prediction for H and DC modes (spec 8.3.4), left-only.
+
+    Column-0 MBs receive an all-128 left column (see _encode_luma_mb),
+    which makes this DC predictor the spec's borderless 128."""
     left = left.astype(jnp.int32)
     pred_h = jnp.broadcast_to(left[:, None], (8, 8))
     tl = (left[:4].sum() + 2) >> 2
     bl = (left[4:].sum() + 2) >> 2
     dc_rows = jnp.concatenate([jnp.full(4, tl), jnp.full(4, bl)])
-    pred_dc = jnp.where(has_left,
-                        jnp.broadcast_to(dc_rows[:, None], (8, 8)),
-                        jnp.full((8, 8), 128))
+    pred_dc = jnp.broadcast_to(dc_rows[:, None], (8, 8))
     return pred_h, pred_dc
 
 
@@ -106,16 +115,16 @@ def _encode_chroma_comp(orig, pred, qp_c):
     return dc_levels, ac_levels, recon
 
 
-def _encode_mb(ymb, umb, vmb, ly, lu, lv, has_left, qp, qp_c):
+def _encode_mb(ymb, umb, vmb, ly, lu, lv, qp, qp_c):
     """One full macroblock. Returns outputs dict + new left columns."""
-    dc_l, ac_l, mode_l, recon_y = _encode_luma_mb(ymb, ly, has_left, qp)
+    dc_l, ac_l, mode_l, recon_y = _encode_luma_mb(ymb, ly, qp)
 
-    ph_u, pdc_u = _chroma_pred(lu, has_left)
-    ph_v, pdc_v = _chroma_pred(lv, has_left)
+    ph_u, pdc_u = _chroma_pred(lu)
+    ph_v, pdc_v = _chroma_pred(lv)
     u32, v32 = umb.astype(jnp.int32), vmb.astype(jnp.int32)
     sad_h = _sad(u32, ph_u) + _sad(v32, ph_v)
     sad_dc = _sad(u32, pdc_u) + _sad(v32, pdc_v)
-    use_h = has_left & (sad_h < sad_dc)
+    use_h = sad_h < sad_dc
     mode_c = jnp.where(use_h, CHROMA_H, CHROMA_DC)
     pred_u = jnp.where(use_h, ph_u, pdc_u)
     pred_v = jnp.where(use_h, ph_v, pdc_v)
@@ -156,19 +165,20 @@ def encode_frame_i16_rows(y, u, v, qp: int, qp_c: int):
     umb = u.reshape(mbh, 8, mbw, 8).swapaxes(1, 2)
     vmb = v.reshape(mbh, 8, mbw, 8).swapaxes(1, 2)
 
-    mb_fn = jax.vmap(_encode_mb, in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
+    mb_fn = jax.vmap(_encode_mb, in_axes=(0, 0, 0, 0, 0, 0, None, None))
 
     def step(carry, xs):
-        ly, lu, lv, x = carry
+        ly, lu, lv = carry
         ymb_c, umb_c, vmb_c = xs
         out, (nly, nlu, nlv) = mb_fn(ymb_c, umb_c, vmb_c, ly, lu, lv,
-                                     x > 0, qp, qp_c)
-        return (nly, nlu, nlv, x + 1), out
+                                     qp, qp_c)
+        return (nly, nlu, nlv), out
 
-    init = (jnp.zeros((mbh, 16), jnp.uint8),
-            jnp.zeros((mbh, 8), jnp.uint8),
-            jnp.zeros((mbh, 8), jnp.uint8),
-            jnp.int32(0))
+    # 128-filled init columns make column-0 prediction the spec's
+    # borderless DC=128 without a scalar conditional (see _encode_luma_mb)
+    init = (jnp.full((mbh, 16), 128, jnp.uint8),
+            jnp.full((mbh, 8), 128, jnp.uint8),
+            jnp.full((mbh, 8), 128, jnp.uint8))
     # scan over columns; outputs stack as (mbw, mbh, ...)
     _, outs = jax.lax.scan(step, init,
                            (ymb.swapaxes(0, 1), umb.swapaxes(0, 1),

@@ -81,10 +81,25 @@ def chroma_qp(qp_luma: int, offset: int = 0) -> int:
 # Core 4x4 transform
 # ---------------------------------------------------------------------------
 
+def _fdct4_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Apply Cf along the last axis as an add/shift butterfly.
+
+    Written as explicit adds rather than a matmul: batched tiny integer
+    matmuls get lowered through the MXU float path on TPU, which is both
+    slower and (observed on the axon platform) not exact; the butterfly
+    stays on the VPU in int32 and is bit-exact by construction.
+    """
+    x0, x1, x2, x3 = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    s0, s3 = x0 + x3, x0 - x3
+    s1, s2 = x1 + x2, x1 - x2
+    return jnp.stack([s0 + s1, 2 * s3 + s2, s0 - s1, s3 - 2 * s2], axis=-1)
+
+
 def fdct4(x: jnp.ndarray) -> jnp.ndarray:
     """Forward 4x4 core transform: Cf @ X @ Cf.T (exact integer)."""
-    cf = jnp.asarray(CF)
-    return cf @ x.astype(jnp.int32) @ cf.T
+    x = x.astype(jnp.int32)
+    t = _fdct4_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return _fdct4_last(t)
 
 
 def quant4(coef: jnp.ndarray, qp: jnp.ndarray, intra: bool = True) -> jnp.ndarray:
@@ -135,11 +150,24 @@ def idct4(d: jnp.ndarray) -> jnp.ndarray:
 # Intra_16x16 luma DC path (spec 8.5.10)
 # ---------------------------------------------------------------------------
 
+def _had4_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Apply H4 along the last axis (butterfly; see _fdct4_last)."""
+    x0, x1, x2, x3 = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    a, b = x0 + x1, x2 + x3
+    c, d = x0 - x1, x2 - x3
+    return jnp.stack([a + b, a - b, c - d, c + d], axis=-1)
+
+
+def _had4_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """H4 @ X @ H4.T (H4 is symmetric)."""
+    x = x.astype(jnp.int32)
+    return _had4_last(_had4_last(x.swapaxes(-1, -2)).swapaxes(-1, -2))
+
+
 def hadamard4_fwd(dc: jnp.ndarray) -> jnp.ndarray:
     """Forward 4x4 Hadamard on the 16 luma DC coefficients, with the
     JM /2 scaling."""
-    h = jnp.asarray(H4)
-    return (h @ dc.astype(jnp.int32) @ h.T) // 2
+    return _had4_2d(dc) // 2
 
 
 def quant_dc4(wdc: jnp.ndarray, qp: jnp.ndarray, intra: bool = True) -> jnp.ndarray:
@@ -160,8 +188,7 @@ def dequant_dc4(zdc: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
     position (0,0) before dequant-AC + idct4 of each block.
     """
     qp = jnp.asarray(qp, jnp.int32)
-    h = jnp.asarray(H4)
-    f = h @ zdc.astype(jnp.int32) @ h.T
+    f = _had4_2d(zdc)
     ls = jnp.asarray(_V_CLASS)[qp % 6, 0] * 16  # LevelScale4x4(m,0,0), flat list
     m = qp // 6
     f64 = f.astype(jnp.int32)
@@ -174,10 +201,20 @@ def dequant_dc4(zdc: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
 # Chroma DC path (spec 8.5.11), 4:2:0 — 2x2 DC per chroma component
 # ---------------------------------------------------------------------------
 
+def _had2_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """H2 @ X @ H2.T as butterflies (see _fdct4_last for why)."""
+    x = x.astype(jnp.int32)
+    a = x[..., 0, :] + x[..., 1, :]
+    b = x[..., 0, :] - x[..., 1, :]
+    return jnp.stack([
+        jnp.stack([a[..., 0] + a[..., 1], a[..., 0] - a[..., 1]], axis=-1),
+        jnp.stack([b[..., 0] + b[..., 1], b[..., 0] - b[..., 1]], axis=-1),
+    ], axis=-2)
+
+
 def hadamard2_fwd(dc: jnp.ndarray) -> jnp.ndarray:
     """Forward 2x2 Hadamard on chroma DC (shape (..., 2, 2))."""
-    h = jnp.array([[1, 1], [1, -1]], jnp.int32)
-    return h @ dc.astype(jnp.int32) @ h.T
+    return _had2_2d(dc)
 
 
 def quant_dc2(wdc: jnp.ndarray, qp: jnp.ndarray, intra: bool = True) -> jnp.ndarray:
@@ -189,8 +226,7 @@ def dequant_dc2(zdc: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
     """Decode-side chroma DC: inverse 2x2 Hadamard then scale
     (spec 8.5.11): dcC = ((f * LevelScale(m,0,0)) << (qp/6)) >> 5."""
     qp = jnp.asarray(qp, jnp.int32)
-    h = jnp.array([[1, 1], [1, -1]], jnp.int32)
-    f = h @ zdc.astype(jnp.int32) @ h.T
+    f = _had2_2d(zdc)
     ls = jnp.asarray(_V_CLASS)[qp % 6, 0] * 16
     return ((f.astype(jnp.int32) * ls) << (qp // 6) >> 5).astype(jnp.int32)
 

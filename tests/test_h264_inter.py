@@ -179,3 +179,13 @@ def test_halfpel_subpixel_motion_bit_exact(tmp_path):
                           24, chroma_qp(24))
     mv = np.asarray(outs["mv"])
     assert (mv % 4 != 0).mean() > 0.5
+
+
+@pytest.mark.parametrize("qp", [18, 21, 23, 27, 30, 33, 37, 41, 45, 49])
+def test_deblock_qp_sweep_bit_exact(tmp_path, qp):
+    """Pin the alpha/beta/tc0 tables: I+P GOPs across the QP range must
+    stay bit-exact through the oracle with the in-loop filter on."""
+    w, h = 64, 48
+    data, recons, _ = encode_seq(moving_square(3, w, h, seed=qp), w, h,
+                                 qp, 3)
+    decode_and_compare(data, recons, w, h, tmp_path)
