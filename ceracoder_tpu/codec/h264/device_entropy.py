@@ -1,0 +1,619 @@
+"""Device-side CAVLC entropy coding and bit packing (JAX, jittable).
+
+Why this exists: the encoder's quantized levels for a 1080p frame are
+~10 MB, and the link between host and TPU runs at ~25 MB/s with
+50-100 ms per-transfer latency (measured on the axon tunnel). Shipping
+levels to the host for entropy coding caps the pipeline at ~2 fps no
+matter how fast the host is. So the whole entropy stage — CAVLC symbol
+generation, slot assembly, and variable-length bit packing — runs on
+device, and the ONLY per-frame transfer is one compact buffer holding
+the final slice payloads (~the coded frame size).
+
+The bit packer is scatter-free (TPU scatters serialize): each symbol's
+MSB-aligned code is split into contributions to (at most) two 32-bit
+words; because all bit ranges are disjoint, integer ADD == OR, so a
+prefix sum over symbol contributions turns per-word assembly into a
+range-sum, and the per-word symbol ranges come from searchsorted over
+the (sorted) word indices. O(T) scan + O(W log T) gathers, no scatter,
+no sort.
+
+Slot layout matches codec/h264/encoder.py's host path exactly, so the
+device path is validated by byte-for-byte comparison against it (and
+thereby inherits the libavcodec-oracle conformance suite).
+
+Replaces the entropy stage of the reference's external encoders
+(reference: pipeline/ x264enc elements; SURVEY.md §2.2, §7.3 hard
+part #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceracoder_tpu.codec.h264 import cavlc_tables as T
+
+BLOCK_SLOTS = 35          # same as cavlc.BLOCK_SLOTS
+MAX_LEVEL = 2063
+S = BLOCK_SLOTS
+MB_SLOTS_I = 3 + S * (1 + 16 + 2 + 8)
+MB_SLOTS_P = 6 + S * (16 + 2 + 8)
+HDR_SLOTS = 24            # fixed-width per-row slice-header slot count
+
+# raster (row, col) of each luma 4x4 block in coding (snake) order
+LUMA_SNAKE = np.array([(0, 0), (0, 1), (1, 0), (1, 1),
+                       (0, 2), (0, 3), (1, 2), (1, 3),
+                       (2, 0), (2, 1), (3, 0), (3, 1),
+                       (2, 2), (2, 3), (3, 2), (3, 3)], dtype=np.int32)
+
+
+def table_lookup(table: np.ndarray, idx) -> jnp.ndarray:
+    """Small-table lookup as a dense compare-select (no gather).
+
+    Gathers on this TPU cost ~9 ns per element regardless of table
+    size; for tables up to a few hundred entries an unrolled
+    compare+add over the nonzero entries is an order of magnitude
+    faster. idx values outside the table map to 0.
+    """
+    t = np.asarray(table).reshape(-1)
+    idx = jnp.asarray(idx, jnp.int32)
+    out = jnp.zeros(idx.shape, jnp.int32)
+    for e in range(t.size):
+        v = int(t[e])
+        if v:
+            out = out + jnp.where(idx == e, v, 0)
+    return out
+
+
+def snake_select(arr, coords):
+    """arr[..., r, c, :] reordered along a list of static (r, c) pairs
+    via static slices (a constant-index gather still pays the ~9 ns/
+    element gather cost; slicing is free)."""
+    return jnp.stack([arr[..., int(r), int(c), :] for r, c in coords],
+                     axis=-2)
+
+
+def ue_jax(v):
+    """Vectorized unsigned exp-Golomb -> (code, nbits)."""
+    code = jnp.asarray(v, jnp.int32) + 1
+    nbits = 2 * (31 - jax.lax.clz(code)) + 1
+    return code.astype(jnp.uint32), nbits.astype(jnp.int32)
+
+
+def se_jax(v):
+    v = jnp.asarray(v, jnp.int32)
+    return ue_jax(jnp.where(v > 0, 2 * v - 1, -2 * v))
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual blocks (port of cavlc.encode_blocks, spec 9.2)
+# ---------------------------------------------------------------------------
+
+def encode_blocks_jax(levels, nc, max_coeff: int):
+    """CAVLC-encode N residual blocks on device.
+
+    levels: (N, C) int — scan-ordered coefficients, C == max_coeff.
+    nc:     (N,) int — nC per block; -1 selects chroma-DC tables.
+    Returns (values (N,S) uint32, nbits (N,S) int32, total_coeff (N,)).
+    """
+    levels = jnp.clip(jnp.asarray(levels, jnp.int32), -MAX_LEVEL, MAX_LEVEL)
+    n, c = levels.shape
+    assert c == max_coeff
+    nc = jnp.asarray(nc, jnp.int32)
+
+    nz = levels != 0
+    total_coeff = nz.sum(axis=1).astype(jnp.int32)
+
+    # reverse-scan compaction via rank-select (no sort: XLA sorts cost
+    # ~50 ms for a 1080p frame's blocks; this is a C-step dense select).
+    # rank r(p) = index of position p counting nonzeros from the highest
+    # frequency down = (suffix nonzero count at p) - 1.
+    pos = jnp.arange(c, dtype=jnp.int32)
+    suffix = jnp.cumsum(nz[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
+    rank = jnp.where(nz, suffix - 1, -1)           # (N, C)
+    lev_rev = jnp.zeros((n, c), jnp.int32)
+    pos_rev = jnp.full((n, c), -1, jnp.int32)
+    for k in range(c):
+        sel = rank == k
+        lev_rev = lev_rev.at[:, k].set(
+            jnp.where(sel, levels, 0).sum(axis=1))
+        pos_rev = pos_rev.at[:, k].set(
+            jnp.where(sel, pos, 0).sum(axis=1)
+            + jnp.where(sel.any(axis=1), 0, -1))
+
+    is_one = jnp.abs(lev_rev[:, :3]) == 1
+    in_range = pos[None, :3] < total_coeff[:, None]
+    run = jnp.cumprod(is_one & in_range, axis=1)
+    t1 = run.sum(axis=1).astype(jnp.int32)
+
+    vals_list = []
+    lens_list = []
+
+    # --- coeff_token (len and bits packed into one table lookup)
+    cls = jnp.select([nc < 0, nc < 2, nc < 4, nc < 8],
+                     [-1, 0, 1, 2], 3)
+    reg = cls >= 0
+    ct_pack = (np.asarray(T.COEFF_TOKEN_LEN, np.int64) << 20) \
+        | np.asarray(T.COEFF_TOKEN_BITS, np.int64)
+    idx = (jnp.maximum(cls, 0) * (17 * 4) + total_coeff * 4 + t1)
+    ctp = table_lookup(ct_pack, idx)
+    cd_pack = (np.asarray(T.CHROMA_DC_COEFF_TOKEN_LEN, np.int64) << 20) \
+        | np.asarray(T.CHROMA_DC_COEFF_TOKEN_BITS, np.int64)
+    cdp = table_lookup(cd_pack, jnp.minimum(total_coeff, 4) * 4 + t1)
+    p = jnp.where(reg, ctp, cdp)
+    vals_list.append((p & 0xFFFFF).astype(jnp.uint32))
+    lens_list.append((p >> 20).astype(jnp.int32))
+
+    # --- trailing-one signs
+    for k in range(3):
+        active = k < t1
+        vals_list.append(jnp.where(active & (lev_rev[:, k] < 0), 1, 0)
+                         .astype(jnp.uint32))
+        lens_list.append(active.astype(jnp.int32))
+
+    # --- remaining levels, adaptive suffix length
+    suffix_len = jnp.where((total_coeff > 10) & (t1 < 3), 1, 0)
+    for k in range(min(16, c)):
+        active = (k >= t1) & (k < total_coeff)
+        v = lev_rev[:, k]
+        adj = (k == t1) & (t1 < 3)
+        v = v - jnp.where(adj, jnp.sign(v), 0)
+        level_code = jnp.where(v > 0, 2 * v - 2, -2 * v - 1)
+
+        sl0 = suffix_len == 0
+        r1 = sl0 & (level_code < 14)
+        r2 = sl0 & (level_code >= 14) & (level_code < 30)
+        r3 = ~sl0 & (level_code < (15 << suffix_len))
+        esc_base = jnp.where(sl0, 30, 15 << suffix_len)
+
+        sym_val = jnp.select(
+            [r1, r2, r3],
+            [jnp.ones_like(level_code),
+             (1 << 4) | (level_code - 14),
+             (1 << suffix_len) | (level_code & ((1 << suffix_len) - 1))],
+            (1 << 12) | (level_code - esc_base))
+        sym_len = jnp.select(
+            [r1, r2, r3],
+            [level_code + 1,
+             jnp.full_like(level_code, 19),
+             (level_code >> suffix_len) + 1 + suffix_len],
+            jnp.full_like(level_code, 28))
+        vals_list.append(jnp.where(active, sym_val, 0).astype(jnp.uint32))
+        lens_list.append(jnp.where(active, sym_len, 0).astype(jnp.int32))
+
+        grew = active & (suffix_len == 0)
+        suffix_len = jnp.where(grew, 1, suffix_len)
+        bump = (active & (jnp.abs(lev_rev[:, k]) > (3 << (suffix_len - 1)))
+                & (suffix_len < 6))
+        suffix_len = jnp.where(bump, suffix_len + 1, suffix_len)
+    for _ in range(min(16, c), 16):
+        vals_list.append(jnp.zeros(n, jnp.uint32))
+        lens_list.append(jnp.zeros(n, jnp.int32))
+
+    # --- total_zeros
+    highest = pos_rev[:, 0]
+    total_zeros = jnp.where(total_coeff > 0, highest + 1 - total_coeff, 0)
+    has_tz = (total_coeff > 0) & (total_coeff < max_coeff)
+    tz_idx = jnp.clip(total_coeff - 1, 0, 14)
+    tz_val = jnp.clip(total_zeros, 0, 15)
+    if max_coeff == 4:
+        tz_pack = (np.asarray(T.CHROMA_DC_TOTAL_ZEROS_LEN, np.int64) << 20) \
+            | np.asarray(T.CHROMA_DC_TOTAL_ZEROS_BITS, np.int64)
+        tzp = table_lookup(
+            tz_pack, jnp.clip(tz_idx, 0, 2) * 4 + jnp.clip(tz_val, 0, 3))
+    else:
+        tz_pack = (np.asarray(T.TOTAL_ZEROS_LEN, np.int64) << 20) \
+            | np.asarray(T.TOTAL_ZEROS_BITS, np.int64)
+        tzp = table_lookup(tz_pack, tz_idx * 16 + tz_val)
+    vals_list.append(jnp.where(has_tz, tzp & 0xFFFFF, 0).astype(jnp.uint32))
+    lens_list.append(jnp.where(has_tz, tzp >> 20, 0).astype(jnp.int32))
+
+    # --- run_before
+    zeros_left = total_zeros
+    rb_pack = (np.asarray(T.RUN_BEFORE_LEN, np.int64) << 20) \
+        | np.asarray(T.RUN_BEFORE_BITS, np.int64)
+    ncols = np.asarray(T.RUN_BEFORE_LEN).shape[1]
+    for k in range(14):
+        if k < c - 1:
+            active = (k < total_coeff - 1) & (zeros_left > 0)
+            if k + 1 < c:
+                run_k = pos_rev[:, k] - pos_rev[:, k + 1] - 1
+            else:
+                run_k = jnp.zeros(n, jnp.int32)
+            run_k = jnp.clip(run_k, 0, 14)
+            tbl = jnp.clip(jnp.minimum(zeros_left, 7) - 1, 0, 6)
+            rbp = table_lookup(rb_pack, tbl * ncols + run_k)
+            vals_list.append(jnp.where(active, rbp & 0xFFFFF, 0)
+                             .astype(jnp.uint32))
+            lens_list.append(jnp.where(active, rbp >> 20, 0)
+                             .astype(jnp.int32))
+            zeros_left = jnp.where(active, zeros_left - run_k, zeros_left)
+        else:
+            vals_list.append(jnp.zeros(n, jnp.uint32))
+            lens_list.append(jnp.zeros(n, jnp.int32))
+
+    vals = jnp.stack(vals_list, axis=1)
+    lens = jnp.stack(lens_list, axis=1)
+    return vals, lens, total_coeff
+
+
+# ---------------------------------------------------------------------------
+# nC neighbor derivation (spec 9.2.1, slice-per-MB-row availability)
+# ---------------------------------------------------------------------------
+
+def neighbor_nc_jax(nnz, rows_per_mb: int):
+    """nC per 4x4 block from neighbor TotalCoeffs; top neighbors in a
+    different MB row are unavailable (they live in another slice)."""
+    bh, bw = nnz.shape
+    left = jnp.pad(nnz, ((0, 0), (1, 0)))[:, :bw]
+    left_avail = jnp.arange(bw) > 0
+    top = jnp.pad(nnz, ((1, 0), (0, 0)))[:bh, :]
+    top_avail = ((jnp.arange(bh) % rows_per_mb) != 0)[:, None]
+    la = jnp.broadcast_to(left_avail[None, :], (bh, bw))
+    ta = jnp.broadcast_to(top_avail, (bh, bw))
+    both = la & ta
+    return jnp.where(both, (left + top + 1) >> 1,
+                     jnp.where(la, left, jnp.where(ta, top, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Bit packing: rows of (value, nbits) symbol slots -> packed words
+# ---------------------------------------------------------------------------
+
+# symbols per packing chunk. A chunk's contributions must fit the
+# 128-word merge window (bitpack.WIN); with mostly-empty slot streams
+# (the CAVLC slot matrix is ~99% zero-width) 1024 slots span a few
+# words. Rows where any chunk exceeds the window are flagged by
+# inflating their bit count past capacity, which routes the frame to
+# the exact host-entropy fallback.
+PACK_CHUNK = 1024
+
+
+def pack_rows(vals, lens, capw: int):
+    """Pack each row's symbol stream into capw 32-bit words, MSB-first.
+
+    vals: (R, T) uint32 right-aligned codes; lens: (R, T) int32 widths
+    (0 = absent). All widths must be <= 32. Returns (words (R, >=capw)
+    uint32, total_bits (R,) int32). Rows overflowing capw*32 bits
+    produce truncated words — callers detect via total_bits.
+
+    Scatter-free: symbols are grouped into 124-symbol chunks whose
+    contributions provably fit a 128-word window; per-chunk windows are
+    built with a dense select-reduce on the VPU (gathers/scatters on
+    this TPU cost ~9 ns/element — dense compare+sum is 40x faster),
+    then merged at data-dependent offsets by the Pallas kernel in
+    ops/bitpack.py with the word buffer VMEM-resident.
+    """
+    from ceracoder_tpu.ops.bitpack import WIN, merge_windows
+
+    vals = vals.astype(jnp.uint32)
+    lens = lens.astype(jnp.int32)
+    r, t = vals.shape
+    off = jnp.cumsum(lens, axis=1) - lens
+    total = off[:, -1] + lens[:, -1]
+
+    w0 = (off >> 5).astype(jnp.int32)
+    sh = (off & 31).astype(jnp.uint32)
+    # MSB-align each code in its own 32-bit lane (len==0 lanes masked)
+    sl = jnp.clip(32 - lens, 0, 31).astype(jnp.uint32)
+    msb = jnp.where(lens > 0, vals << sl, 0)
+    hi = msb >> sh
+    lo_shift = jnp.clip(32 - sh.astype(jnp.int32), 0, 31).astype(jnp.uint32)
+    lo = jnp.where(sh > 0, msb << lo_shift, 0)
+
+    nch = -(-t // PACK_CHUNK)
+    pad = nch * PACK_CHUNK - t
+    if pad:
+        w0 = jnp.pad(w0, ((0, 0), (0, pad)), mode="edge")
+        hi = jnp.pad(hi, ((0, 0), (0, pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+    w0c = w0.reshape(r, nch, PACK_CHUNK)
+    hic = hi.reshape(r, nch, PACK_CHUNK)
+    loc = lo.reshape(r, nch, PACK_CHUNK)
+    sw = w0c[:, :, 0]
+    local = w0c - sw[:, :, None]
+
+    parts = []
+    for word in range(WIN):
+        p = jnp.where(local == word, hic, 0).sum(-1)
+        p = p + jnp.where(local == word - 1, loc, 0).sum(-1)
+        parts.append(p)
+    partials = jnp.stack(parts, axis=-1).astype(jnp.uint32)
+
+    # rows where a chunk outgrew the window lose bits in the merge;
+    # inflate their bit count so the caller's capacity check rejects
+    # the frame and takes the exact host fallback
+    overflow = (local > WIN - 2).any(axis=(1, 2))
+    capw_pad = max(-(-capw // 128) * 128 + 2 * WIN, 4 * WIN)
+    total = jnp.where(overflow, capw_pad * 32 + 8, total)
+
+    words = merge_windows(sw.astype(jnp.int32), partials, capw_pad)
+    return words, total
+
+
+def finalize_rows(vals, lens):
+    """Fill the LAST slot of each row with the RBSP stop bit + byte-pad
+    (spec 7.3.2.11) computed from the row's current bit count."""
+    tb = lens[:, :-1].sum(axis=1)
+    pad = (8 - ((tb + 1) & 7)) & 7
+    vals = vals.at[:, -1].set((jnp.uint32(1) << pad.astype(jnp.uint32)))
+    lens = lens.at[:, -1].set(1 + pad)
+    return vals, lens
+
+
+def compact_rows(words, row_bytes, totcap: int):
+    """Concatenate per-row packed streams into one dense word buffer.
+
+    Each row is placed at a 4-byte-aligned offset (rows are padded with
+    up to 3 zero bytes; the host slices each row back out by its true
+    byte count, so the padding never reaches the bitstream). Alignment
+    makes every output word a copy of exactly one row word — a single
+    dense gather instead of four byte gathers — and the row index per
+    word is a 68-way compare-sum, not a search.
+
+    Returns a (R + totcap//4,) uint32 buffer: R row byte counts, then
+    the rows at word-aligned offsets. One transfer moves everything.
+    """
+    r = row_bytes.shape[0]
+    capw_pad = words.shape[1]
+    row_words = (row_bytes + 3) >> 2
+    starts_w = jnp.cumsum(row_words) - row_words       # (R,) word offsets
+    nwords = totcap // 4
+    j = jnp.arange(nwords, dtype=jnp.int32)
+    # per-word row index, start and length via dense compare-sums (small
+    # per-row tables; gathers on this TPU cost ~9 ns/element, dense
+    # compare+add is far cheaper at R ~ 68)
+    in_row = j[None, :] >= starts_w[:, None]           # (R, nwords)
+    row = jnp.clip(in_row.sum(axis=0) - 1, 0, r - 1)
+    eq = row[None, :] == jnp.arange(r, dtype=jnp.int32)[:, None]
+    start_sel = (eq * starts_w[:, None]).sum(axis=0)
+    rw_sel = (eq * row_words[:, None]).sum(axis=0)
+    k = j - start_sel
+    flat = words.reshape(-1)
+    stream = jnp.where(k < rw_sel,
+                       flat[jnp.clip(row * capw_pad + k, 0,
+                                     flat.shape[0] - 1)], 0)
+    return jnp.concatenate([row_bytes.astype(jnp.uint32), stream])
+
+
+# ---------------------------------------------------------------------------
+# Frame assembly: device outputs -> per-row slot matrices -> packed buffer
+# ---------------------------------------------------------------------------
+
+def _chroma_block_symbols(dc_chroma, ac_chroma, mbh, mbw):
+    """Shared chroma residual symbol generation (I and P identical).
+
+    Returns (v_cdc, l_cdc (n,2,S)), (v_cac, l_cac (n,8,S)), cbp_chroma
+    (mbh, mbw)."""
+    n = mbh * mbw
+    any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+    any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+    cbp_chroma = jnp.where(any_cac, 2, jnp.where(any_cdc, 1, 0))
+
+    cdc = dc_chroma.reshape(n * 2, 4)
+    v_cdc, l_cdc, _ = encode_blocks_jax(cdc, jnp.full(n * 2, -1), 4)
+
+    chroma_nnz = (ac_chroma != 0).sum(-1)          # (mbh, mbw, 2, 2, 2)
+    nc_list = []
+    for comp in range(2):
+        g = chroma_nnz[:, :, comp].swapaxes(1, 2).reshape(mbh * 2, mbw * 2)
+        nc = neighbor_nc_jax(g, 2)
+        nc_list.append(nc.reshape(mbh, 2, mbw, 2).swapaxes(1, 2))
+    nc_cac = jnp.stack(nc_list)                    # (2, mbh, mbw, 2, 2)
+    nc_cac = nc_cac.transpose(1, 2, 0, 3, 4).reshape(n * 8)
+    cac = ac_chroma.reshape(n * 8, 15)
+    v_cac, l_cac, _ = encode_blocks_jax(cac, nc_cac, 15)
+    return ((v_cdc.reshape(n, 2, S), l_cdc.reshape(n, 2, S)),
+            (v_cac.reshape(n, 8, S), l_cac.reshape(n, 8, S)),
+            cbp_chroma)
+
+
+def assemble_i_slots(outs):
+    """I-frame MB symbol slots (port of H264Encoder._assemble's
+    vectorized body). Returns (vals, lens) shaped (mbh, mbw*MB_SLOTS_I)."""
+    mode_l_g = outs["mode_luma"]
+    mbh, mbw = mode_l_g.shape
+    n = mbh * mbw
+
+    ac_luma = outs["ac_luma"].astype(jnp.int32)    # (mbh,mbw,4,4,15)
+    dc_luma = outs["dc_luma"].reshape(n, 16).astype(jnp.int32)
+
+    cbp_luma = (ac_luma.reshape(n, -1) != 0).any(1).astype(jnp.int32) * 15
+
+    luma_nnz = (ac_luma != 0).sum(-1)
+    luma_nnz = luma_nnz.swapaxes(1, 2).reshape(mbh * 4, mbw * 4)
+    nc_luma = neighbor_nc_jax(luma_nnz, 4)
+    nc_dc = nc_luma[::4, ::4].reshape(n)
+
+    v_dc, l_dc, _ = encode_blocks_jax(dc_luma, nc_dc, 16)
+
+    ac_snake = snake_select(ac_luma, LUMA_SNAKE).reshape(n * 16, 15)
+    nc_grid = nc_luma.reshape(mbh, 4, mbw, 4).swapaxes(1, 2)
+    nc_ac = jnp.stack([nc_grid[:, :, int(r), int(c)]
+                       for r, c in LUMA_SNAKE], axis=-1).reshape(n * 16)
+    v_ac, l_ac, _ = encode_blocks_jax(ac_snake, nc_ac, 15)
+    l_ac = l_ac.reshape(n, 16, S) * (cbp_luma > 0)[:, None, None]
+
+    (v_cdc, l_cdc), (v_cac, l_cac), cbp_chroma = _chroma_block_symbols(
+        outs["dc_chroma"].astype(jnp.int32),
+        outs["ac_chroma"].astype(jnp.int32), mbh, mbw)
+    cbp_c = cbp_chroma.reshape(n)
+    l_cdc = l_cdc * (cbp_c > 0)[:, None, None]
+    l_cac = l_cac * (cbp_c == 2)[:, None, None]
+
+    mode_l = mode_l_g.reshape(n).astype(jnp.int32)
+    mode_c = outs["mode_chroma"].reshape(n).astype(jnp.int32)
+    mb_type = 1 + mode_l + 4 * cbp_c + 12 * (cbp_luma == 15)
+    v_mt, l_mt = ue_jax(mb_type)
+    v_cm, l_cm = ue_jax(mode_c)
+
+    vals = jnp.concatenate([
+        v_mt[:, None], v_cm[:, None],
+        jnp.ones((n, 1), jnp.uint32),              # mb_qp_delta se(0)
+        v_dc, v_ac.reshape(n, 16 * S),
+        v_cdc.reshape(n, 2 * S), v_cac.reshape(n, 8 * S)], axis=1)
+    lens = jnp.concatenate([
+        l_mt[:, None], l_cm[:, None],
+        jnp.ones((n, 1), jnp.int32),
+        l_dc, l_ac.reshape(n, 16 * S),
+        l_cdc.reshape(n, 2 * S), l_cac.reshape(n, 8 * S)], axis=1)
+    return (vals.reshape(mbh, mbw * MB_SLOTS_I),
+            lens.reshape(mbh, mbw * MB_SLOTS_I))
+
+
+def assemble_p_slots(outs):
+    """P-frame MB symbol slots + per-row trailing skip run.
+
+    Returns (vals, lens) shaped (mbh, mbw*MB_SLOTS_P + 1) — the extra
+    slot is ue(trailing_skip_run) (zero-width when the row ends on a
+    coded MB)."""
+    mv = outs["mv"].astype(jnp.int32)              # (mbh, mbw, 2) dy,dx
+    mbh, mbw = mv.shape[:2]
+    n = mbh * mbw
+
+    ll = outs["luma_levels"].astype(jnp.int32)     # (mbh,mbw,4,4,16)
+
+    nz44 = (ll != 0).any(-1)
+    qlist = []
+    for q in range(4):
+        r0, c0 = 2 * (q // 2), 2 * (q % 2)
+        qlist.append(nz44[:, :, r0:r0 + 2, c0:c0 + 2].any((-1, -2)))
+    qbits = jnp.stack(qlist, axis=-1).astype(jnp.int32)
+    cbp_luma = (qbits << jnp.arange(4)).sum(-1)
+
+    (v_cdc, l_cdc), (v_cac, l_cac), cbp_chroma = _chroma_block_symbols(
+        outs["dc_chroma"].astype(jnp.int32),
+        outs["ac_chroma"].astype(jnp.int32), mbh, mbw)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    # MV prediction: slice-row => pmv = left MB's mv (0 for column 0)
+    pmv = jnp.pad(mv, ((0, 0), (1, 0), (0, 0)))[:, :mbw]
+    mvd = mv - pmv
+
+    skip = (mv[..., 0] == 0) & (mv[..., 1] == 0) & (cbp == 0)
+    nonskip = ~skip
+    idx = jnp.arange(mbw, dtype=jnp.int32)
+    lastns = jax.lax.cummax(jnp.where(nonskip, idx, -1), axis=1)
+    last_before = jnp.pad(lastns, ((0, 0), (1, 0)),
+                          constant_values=-1)[:, :mbw]
+    run_val = jnp.where(nonskip, idx - last_before - 1, 0)
+    trailing = mbw - 1 - lastns[:, -1]
+
+    coded = nonskip.reshape(n)
+
+    nnz = (ll != 0).sum(-1)
+    grid = nnz.swapaxes(1, 2).reshape(mbh * 4, mbw * 4)
+    nc_luma = neighbor_nc_jax(grid, 4)
+    nc_grid = nc_luma.reshape(mbh, 4, mbw, 4).swapaxes(1, 2)
+
+    blocks = snake_select(ll, LUMA_SNAKE).reshape(n * 16, 16)
+    nc_blk = jnp.stack([nc_grid[:, :, int(r), int(c)]
+                        for r, c in LUMA_SNAKE], axis=-1).reshape(n * 16)
+    v_l, l_l, _ = encode_blocks_jax(blocks, nc_blk, 16)
+    blk_q = np.arange(16) // 4
+    blk_coded = (qbits.reshape(n, 4)[:, blk_q] > 0) & coded[:, None]
+    l_l = l_l.reshape(n, 16, S) * blk_coded[:, :, None]
+
+    cbp_c = cbp_chroma.reshape(n)
+    l_cdc = l_cdc * ((cbp_c > 0) & coded)[:, None, None]
+    l_cac = l_cac * ((cbp_c == 2) & coded)[:, None, None]
+
+    v_run, l_run = ue_jax(run_val.reshape(n))
+    v_mvx, l_mvx = se_jax(mvd[..., 1].reshape(n))
+    v_mvy, l_mvy = se_jax(mvd[..., 0].reshape(n))
+    cbp_code = table_lookup(T.CBP_INTER_TO_CODE, cbp.reshape(n))
+    v_cbp, l_cbp = ue_jax(cbp_code)
+    has_qpd = cbp.reshape(n) > 0
+
+    coded_i = coded.astype(jnp.int32)
+    vals = jnp.concatenate([
+        v_run[:, None],
+        jnp.ones((n, 1), jnp.uint32),              # mb_type ue(0)
+        v_mvx[:, None], v_mvy[:, None], v_cbp[:, None],
+        jnp.ones((n, 1), jnp.uint32),              # mb_qp_delta se(0)
+        v_l.reshape(n, 16 * S),
+        v_cdc.reshape(n, 2 * S), v_cac.reshape(n, 8 * S)], axis=1)
+    lens = jnp.concatenate([
+        (l_run * coded_i)[:, None],
+        coded_i[:, None],
+        (l_mvx * coded_i)[:, None], (l_mvy * coded_i)[:, None],
+        (l_cbp * coded_i)[:, None],
+        (has_qpd & coded).astype(jnp.int32)[:, None],
+        l_l.reshape(n, 16 * S),
+        l_cdc.reshape(n, 2 * S), l_cac.reshape(n, 8 * S)], axis=1)
+
+    vals = vals.reshape(mbh, mbw * MB_SLOTS_P)
+    lens = lens.reshape(mbh, mbw * MB_SLOTS_P)
+
+    v_tr, l_tr = ue_jax(jnp.maximum(trailing, 0))
+    vals = jnp.concatenate([vals, v_tr[:, None]], axis=1)
+    lens = jnp.concatenate([lens, jnp.where(trailing > 0, l_tr, 0)[:, None]],
+                           axis=1)
+    return vals, lens
+
+
+def pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw: int,
+               totcap: int):
+    """Join per-row [header | MB slots | stop] and pack into one buffer.
+
+    hdr_*: (R, HDR_SLOTS); mb_*: (R, T). Returns the (R + totcap//4,)
+    uint32 buffer of compact_rows."""
+    r = hdr_vals.shape[0]
+    vals = jnp.concatenate(
+        [hdr_vals.astype(jnp.uint32), mb_vals,
+         jnp.zeros((r, 1), jnp.uint32)], axis=1)
+    lens = jnp.concatenate(
+        [hdr_lens.astype(jnp.int32), mb_lens,
+         jnp.zeros((r, 1), jnp.int32)], axis=1)
+    vals, lens = finalize_rows(vals, lens)
+    words, total = pack_rows(vals, lens, capw)
+    row_bytes = total >> 3
+    return compact_rows(words, row_bytes, totcap)
+
+
+# ---------------------------------------------------------------------------
+# Jitted top-level entries (compute + entropy + pack in one dispatch)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
+def encode_i_frame_packed(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
+                          capw: int, totcap: int, deblock: bool):
+    """IDR frame: intra encode + deblock + CAVLC + pack, one dispatch.
+
+    Returns (packed buffer (4R+totcap,) uint8, recon tuple)."""
+    from ceracoder_tpu.ops.deblock import deblock_frame_rows
+    from ceracoder_tpu.ops.intra import encode_frame_i16_rows
+
+    outs = encode_frame_i16_rows(y, u, v, qp, qp_c)
+    recon = outs["recon"]
+    if deblock:
+        mbh, mbw = outs["mode_luma"].shape
+        zero_nnz = jnp.zeros((mbh, mbw, 4, 4), jnp.int32)
+        zero_mv = jnp.zeros((mbh, mbw, 2), jnp.int32)
+        recon = deblock_frame_rows(*recon, zero_nnz, zero_mv, qp, qp_c,
+                                   intra_frame=True)
+    mb_vals, mb_lens = assemble_i_slots(outs)
+    buf = pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw, totcap)
+    return buf, recon
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
+def encode_p_frame_packed(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                          hdr_vals, hdr_lens, capw: int, totcap: int,
+                          deblock: bool):
+    """P frame: ME/MC encode + deblock + CAVLC + pack, one dispatch."""
+    from ceracoder_tpu.ops.deblock import deblock_frame_rows
+    from ceracoder_tpu.ops.inter import encode_frame_p
+
+    outs = encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, qp_c)
+    recon = outs["recon"]
+    if deblock:
+        nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
+        recon = deblock_frame_rows(*recon, nnz44, outs["mv"], qp, qp_c,
+                                   intra_frame=False)
+    mb_vals, mb_lens = assemble_p_slots(outs)
+    buf = pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw, totcap)
+    return buf, recon

@@ -98,9 +98,37 @@ def _neighbor_nc(nnz: np.ndarray, rows_per_mb: int,
 @dataclass
 class EncodedFrame:
     data: bytes
-    recon: tuple[np.ndarray, np.ndarray, np.ndarray]
     keyframe: bool
     qp: int
+    _recon_dev: tuple = field(default=None, repr=False)
+    _recon_np: tuple | None = field(default=None, repr=False)
+
+    @property
+    def recon(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Reconstructed planes; materialized from device on first
+        access (the transfer costs ~100 ms over the axon tunnel, so the
+        streaming path never touches it)."""
+        if self._recon_np is None:
+            self._recon_np = tuple(np.asarray(p) for p in self._recon_dev)
+        return self._recon_np
+
+
+class PendingFrame:
+    """A frame in flight: device dispatch done, host bytes not yet
+    materialized. Lets callers keep several frames in the pipeline so
+    the per-transfer tunnel latency overlaps with device compute."""
+
+    def __init__(self, finish, keyframe: bool, qp: int):
+        self._finish = finish
+        self._frame: EncodedFrame | None = None
+        self.keyframe = keyframe
+        self.qp = qp
+
+    def result(self) -> EncodedFrame:
+        if self._frame is None:
+            self._frame = self._finish()
+            self._finish = None
+        return self._frame
 
 
 class H264Encoder:
@@ -115,7 +143,9 @@ class H264Encoder:
     def __init__(self, width: int, height: int, qp: int = 28,
                  fps_num: int = 0, fps_den: int = 1,
                  chroma_qp_offset: int = 0, gop: int = 1,
-                 deblock: bool = True):
+                 deblock: bool = True, device_entropy: bool = True,
+                 row_capacity_bytes: int | None = None,
+                 frame_capacity_bytes: int | None = None):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")
@@ -124,6 +154,13 @@ class H264Encoder:
         self.qp = qp
         self.gop = max(1, gop)          # 1 = all-intra
         self.deblock = deblock
+        self.device_entropy = device_entropy
+        # per-row packed capacity in 32-bit words; overflow falls back to
+        # the host entropy path for that frame (detected exactly)
+        cap = row_capacity_bytes or max(2048, self.mbw * 192)
+        self._capw = (cap + 3) // 4
+        self._totcap = frame_capacity_bytes or max(
+            1 << 16, width * height // 6)
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
                              fps_num=fps_num, fps_den=fps_den)
@@ -141,54 +178,155 @@ class H264Encoder:
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None,
                      force_idr: bool = False) -> EncodedFrame:
+        return self.encode_frame_async(y, u, v, qp, force_idr).result()
+
+    def _hdr_arrays(self, idr: bool, qp: int, frame_num: int,
+                    idr_pic_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row slice-header symbols as fixed (mbh, HDR_SLOTS) arrays
+        for the device packer."""
+        from ceracoder_tpu.codec.h264.device_entropy import HDR_SLOTS
+        hv = np.zeros((self.mbh, HDR_SLOTS), np.uint32)
+        hl = np.zeros((self.mbh, HDR_SLOTS), np.int32)
+        for row in range(self.mbh):
+            hdr = write_slice_header(SliceConfig(
+                first_mb=row * self.mbw,
+                slice_type=SLICE_I_ALL if idr else SLICE_P_ALL,
+                frame_num=frame_num, idr=idr, idr_pic_id=idr_pic_id,
+                qp=qp, pic_init_qp=self.pps.pic_init_qp,
+                deblock_idc=2 if self.deblock else 1))
+            v, ln = hdr.arrays()
+            if v.size > HDR_SLOTS:
+                raise AssertionError("HDR_SLOTS too small")
+            hv[row, :v.size] = v
+            hl[row, :ln.size] = ln
+        return hv, hl
+
+    def encode_frame_async(self, y: np.ndarray, u: np.ndarray,
+                           v: np.ndarray, qp: int | None = None,
+                           force_idr: bool = False) -> PendingFrame:
+        """Dispatch the frame to the device and return immediately.
+
+        The returned PendingFrame materializes the bitstream on
+        .result(); keeping several in flight overlaps the ~100 ms
+        device->host tunnel latency with compute (the difference between
+        ~2 fps and real-time at 1080p — see device_entropy docstring).
+        """
         qp = self.qp if qp is None else qp
         qp_c = chroma_qp(qp, self.chroma_qp_offset)
         import jax.numpy as jnp
         idr = force_idr or self._ref is None or self._gop_pos >= self.gop
+        frame_num = 0 if idr else self.frame_num
+        idr_pic_id = self.idr_pic_id
+        prev_ref = self._ref
 
+        yj, uj, vj = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+
+        if not self.device_entropy:
+            data, recon = self._encode_host_path(
+                yj, uj, vj, qp, qp_c, idr, frame_num, idr_pic_id, prev_ref)
+            self._ref = recon
+            self._advance_state(idr)
+            frame = EncodedFrame(data=data, keyframe=idr, qp=qp,
+                                 _recon_dev=recon)
+            self.frame_idx += 1
+            return PendingFrame(lambda: frame, idr, qp)
+
+        from ceracoder_tpu.codec.h264.device_entropy import (
+            encode_i_frame_packed, encode_p_frame_packed)
+        hv, hl = self._hdr_arrays(idr, qp, frame_num, idr_pic_id)
         if idr:
-            outs = encode_frame_i16_rows(jnp.asarray(y), jnp.asarray(u),
-                                         jnp.asarray(v), qp, qp_c)
-            if self.deblock:
-                from ceracoder_tpu.ops.deblock import deblock_frame_rows
-                zero_nnz = jnp.zeros((self.mbh, self.mbw, 4, 4), jnp.int32)
-                zero_mv = jnp.zeros((self.mbh, self.mbw, 2), jnp.int32)
-                outs["recon"] = deblock_frame_rows(
-                    *outs["recon"], zero_nnz, zero_mv, qp, qp_c,
-                    intra_frame=True)
-            self._ref = outs["recon"]
-            outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
-                       tuple(np.asarray(x) for x in o)
-                       for k, o in outs.items()}
-            data = self._assemble(outs_np, qp)
+            buf, recon = encode_i_frame_packed(
+                yj, uj, vj, qp, qp_c, hv, hl,
+                capw=self._capw, totcap=self._totcap,
+                deblock=self.deblock)
+        else:
+            buf, recon = encode_p_frame_packed(
+                yj, uj, vj, *prev_ref, qp, qp_c, hv, hl,
+                capw=self._capw, totcap=self._totcap,
+                deblock=self.deblock)
+        self._ref = recon
+        self._advance_state(idr)
+        self.frame_idx += 1
+
+        def finish() -> EncodedFrame:
+            data = self._frame_bytes_from_buf(
+                np.asarray(buf), idr, qp, qp_c, yj, uj, vj, frame_num,
+                idr_pic_id, prev_ref)
+            return EncodedFrame(data=data, keyframe=idr, qp=qp,
+                                _recon_dev=recon)
+
+        return PendingFrame(finish, idr, qp)
+
+    def _advance_state(self, idr: bool) -> None:
+        if idr:
             self.frame_num = 1          # IDR was frame_num 0
             self._gop_pos = 1
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
         else:
-            outs = encode_frame_p(jnp.asarray(y), jnp.asarray(u),
-                                  jnp.asarray(v), *self._ref, qp, qp_c)
-            if self.deblock:
-                from ceracoder_tpu.ops.deblock import deblock_frame_rows
-                nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
-                outs["recon"] = deblock_frame_rows(
-                    *outs["recon"], nnz44, outs["mv"], qp, qp_c,
-                    intra_frame=False)
-            self._ref = outs["recon"]
-            outs_np = {k: np.asarray(o) if not isinstance(o, tuple) else
-                       tuple(np.asarray(x) for x in o)
-                       for k, o in outs.items()}
-            data = self._assemble_p(outs_np, qp, self.frame_num)
             self.frame_num = (self.frame_num + 1) % (
                 1 << self.sps.log2_max_frame_num)
             self._gop_pos += 1
 
-        frame = EncodedFrame(data=data, recon=outs_np["recon"],
-                             keyframe=idr, qp=qp)
-        self.frame_idx += 1
-        return frame
+    def _frame_bytes_from_buf(self, buf: np.ndarray, idr: bool, qp: int,
+                              qp_c: int, yj, uj, vj, frame_num: int,
+                              idr_pic_id: int, prev_ref) -> bytes:
+        """Split the device-packed buffer into per-row NAL units; on
+        capacity overflow, redo the frame through the host entropy
+        path (exact, just slower)."""
+        mbh = self.mbh
+        row_bytes = buf[:mbh].astype(np.int64)
+        row_words = (row_bytes + 3) >> 2
+        if (int(row_words.sum()) > self._totcap // 4
+                or int(row_bytes.max()) > self._capw * 4):
+            data, _ = self._encode_host_path(
+                yj, uj, vj, qp, qp_c, idr, frame_num, idr_pic_id, prev_ref)
+            return data
+        # device words are MSB-first byte containers
+        stream = buf[mbh:].astype(">u4").tobytes()
+        nals = []
+        off = 0
+        ref_idc, ntype = (3, NAL_IDR) if idr else (2, NAL_SLICE)
+        for row in range(mbh):
+            rb = int(row_bytes[row])
+            nals.append(nal_unit(ref_idc, ntype, stream[off:off + rb],
+                                 long_start_code=(row == 0)))
+            off += int(row_words[row]) * 4
+        return b"".join(nals)
+
+    def _encode_host_path(self, yj, uj, vj, qp: int, qp_c: int, idr: bool,
+                          frame_num: int, idr_pic_id: int, prev_ref):
+        """Original host-entropy path: device compute, host CAVLC."""
+        from ceracoder_tpu.ops.deblock import deblock_frame_rows
+        import jax.numpy as jnp
+        if idr:
+            outs = encode_frame_i16_rows(yj, uj, vj, qp, qp_c)
+            recon = outs["recon"]
+            if self.deblock:
+                zero_nnz = jnp.zeros((self.mbh, self.mbw, 4, 4), jnp.int32)
+                zero_mv = jnp.zeros((self.mbh, self.mbw, 2), jnp.int32)
+                recon = deblock_frame_rows(*recon, zero_nnz, zero_mv,
+                                           qp, qp_c, intra_frame=True)
+            outs_np = {k: np.asarray(o) for k, o in outs.items()
+                       if not isinstance(o, tuple)}
+            data = self._assemble(outs_np, qp, idr_pic_id)
+        else:
+            outs = encode_frame_p(yj, uj, vj, *prev_ref, qp, qp_c)
+            recon = outs["recon"]
+            if self.deblock:
+                nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
+                recon = deblock_frame_rows(*recon, nnz44, outs["mv"],
+                                           qp, qp_c, intra_frame=False)
+            outs_np = {k: np.asarray(o) for k, o in outs.items()
+                       if not isinstance(o, tuple)}
+            data = self._assemble_p(outs_np, qp, frame_num)
+        # NOTE: does not touch self._ref — the overflow fallback runs
+        # after later frames may already be in flight; the caller that
+        # owns the submission order assigns the reference.
+        return data, recon
 
     # ------------------------------------------------------------------
-    def _assemble(self, outs: dict, qp: int) -> bytes:
+    def _assemble(self, outs: dict, qp: int,
+                  idr_pic_id: int) -> bytes:
         mbh, mbw = self.mbh, self.mbw
         n = mbh * mbw
 
@@ -280,7 +418,7 @@ class H264Encoder:
         for row in range(mbh):
             hdr = write_slice_header(SliceConfig(
                 first_mb=row * mbw, slice_type=SLICE_I_ALL, frame_num=0,
-                idr=True, idr_pic_id=self.idr_pic_id, qp=qp,
+                idr=True, idr_pic_id=idr_pic_id, qp=qp,
                 pic_init_qp=self.pps.pic_init_qp,
                 deblock_idc=2 if self.deblock else 1))
             hv, hl = hdr.arrays()

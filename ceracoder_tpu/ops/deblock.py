@@ -194,18 +194,23 @@ def compute_bs(nnz44, mv_q, intra_frame: bool):
     return bs_v, bs_h
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qp_c", "intra_frame"))
-def deblock_frame_rows(y, u, v, nnz44, mv_q, qp: int, qp_c: int,
+@functools.partial(jax.jit, static_argnames=("intra_frame",))
+def deblock_frame_rows(y, u, v, nnz44, mv_q, qp, qp_c,
                        intra_frame: bool):
-    """Deblock a reconstructed frame under the slice-row schedule."""
+    """Deblock a reconstructed frame under the slice-row schedule.
+
+    qp / qp_c may be traced scalars — the filter-strength tables are
+    indexed on device so adaptive rate control never recompiles."""
     h, w = y.shape
     mbh, mbw = h // 16, w // 16
-    alpha = int(ALPHA[min(max(qp, 0), 51)])
-    beta = int(BETA[min(max(qp, 0), 51)])
-    tc0_row = jnp.asarray(TC0[min(max(qp, 0), 51)])
-    alpha_c = int(ALPHA[min(max(qp_c, 0), 51)])
-    beta_c = int(BETA[min(max(qp_c, 0), 51)])
-    tc0_row_c = jnp.asarray(TC0[min(max(qp_c, 0), 51)])
+    qp = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)
+    qp_c = jnp.clip(jnp.asarray(qp_c, jnp.int32), 0, 51)
+    alpha = jnp.asarray(ALPHA)[qp]
+    beta = jnp.asarray(BETA)[qp]
+    tc0_row = jnp.asarray(TC0)[qp]
+    alpha_c = jnp.asarray(ALPHA)[qp_c]
+    beta_c = jnp.asarray(BETA)[qp_c]
+    tc0_row_c = jnp.asarray(TC0)[qp_c]
 
     bs_v, bs_h = compute_bs(nnz44, mv_q, intra_frame)
 

@@ -25,6 +25,7 @@ setup_jax()
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ceracoder_tpu.ops.transform import (
     dequant4,
@@ -246,9 +247,205 @@ def mc_chroma(ref_c: jnp.ndarray, mv_q: jnp.ndarray):
     return jax.vmap(jax.vmap(one))(by, bx, mv_q)
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qp_c"))
+def tile_apron(plane, mb: int, margin: int):
+    """(H, W) -> (nbh, T, nbw, T), T = mb + 2*margin: tile (i, j)
+    covers plane[i*mb-margin : (i+1)*mb+margin] (edge-clamped), built
+    from 2T strided slices — no gathers."""
+    h, w = plane.shape
+    nbh, nbw = h // mb, w // mb
+    t = mb + 2 * margin
+    p = jnp.pad(plane, margin, mode="edge")
+    rows = jnp.stack([p[a:a + mb * (nbh - 1) + 1:mb, :]
+                      for a in range(t)], axis=1)       # (nbh, T, w+2m)
+    return jnp.stack([rows[:, :, b:b + mb * (nbw - 1) + 1:mb]
+                      for b in range(t)], axis=-1)      # (nbh, T, nbw, T)
+
+
+COARSE_RANGE = 4          # +-4 on the 4x pyramid = +-16 full-pel
+REFINE_RANGE = 3          # full-pel refine around the coarse winner
+
+
+def coarse_mv(cur32, ref32, rc: int = COARSE_RANGE):
+    """Coarse stage of the motion search: running argmin over all
+    (2rc+1)^2 shifts of 4x average-pooled planes. Returns (mbh, mbw, 2)
+    full-pel MVs that are multiples of 4 in [-4rc, 4rc]."""
+    h, w = cur32.shape
+    mbh, mbw = h // 16, w // 16
+
+    def pool4(p):
+        return p.reshape(p.shape[0] // 4, 4, p.shape[1] // 4, 4) \
+                .sum((1, 3)) >> 4
+    cur_c = pool4(cur32)
+    ref_c_pad = jnp.pad(pool4(ref32), rc, mode="edge")
+    n_sh = 2 * rc + 1
+
+    def step(carry, idx):
+        best_sad, best_mv = carry
+        dy = idx // n_sh - rc
+        dx = idx % n_sh - rc
+        shifted = jax.lax.dynamic_slice(ref_c_pad, (dy + rc, dx + rc),
+                                        cur_c.shape)
+        diff = jnp.abs(cur_c - shifted)
+        sad = _mb_view(diff, 4).sum((-1, -2))
+        better = sad < best_sad
+        best_mv = jnp.where(better[..., None],
+                            jnp.stack([jnp.full_like(sad, dy),
+                                       jnp.full_like(sad, dx)], -1),
+                            best_mv)
+        return (jnp.minimum(best_sad, sad), best_mv), None
+
+    init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+            jnp.zeros((mbh, mbw, 2), jnp.int32))
+    (_, cmv), _ = jax.lax.scan(step, init, jnp.arange(n_sh * n_sh))
+    return cmv * 4
+
+
+def _tap6_last(a):
+    """Unrounded 6-tap along the last axis; out[k] filters a[k..k+5]."""
+    return (a[..., 0:-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+            + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+
+def _me_mc_luma(y32, ref32):
+    """Dense motion search + half-pel refine + luma MC.
+
+    All data-dependent addressing is expressed as dense select-warps
+    over small candidate sets (81 coarse MVs, 49 refine offsets, 9
+    half-pel offsets) — per-MB dynamic_slice/gather formulations cost
+    ~200 ms/frame on this TPU (9 ns per gathered element); this runs in
+    a few ms. Returns (mv_q, pred (mbh,mbw,16,16), sad).
+    """
+    h, w = y32.shape
+    mbh, mbw = h // 16, w // 16
+    rr = REFINE_RANGE
+    reach = 4 * COARSE_RANGE
+    marg = reach + rr + 4                  # + 6-tap/half-pel margin
+    apron = tile_apron(ref32, 16, marg)    # (mbh, T0, mbw, T0)
+
+    cmv = coarse_mv(y32, ref32)            # multiples of 4
+
+    # warp 1: per-MB windows at the coarse MV (81-way dense select)
+    w1 = 16 + 2 * (rr + 4)
+    o1 = marg - (rr + 4)
+    warped = jnp.zeros((mbh, w1, mbw, w1), jnp.int32)
+    for dy in range(-reach, reach + 1, 4):
+        rsel = apron[:, o1 + dy:o1 + dy + w1, :, :]
+        for dx in range(-reach, reach + 1, 4):
+            cand = rsel[:, :, :, o1 + dx:o1 + dx + w1]
+            m = (cmv[..., 0] == dy) & (cmv[..., 1] == dx)
+            warped = warped + jnp.where(m[:, None, :, None], cand, 0)
+
+    # full-pel refine: 49 static-slice SAD maps over the warped windows
+    cur_l = y32.reshape(mbh, 16, mbw, 16)
+    b1 = rr + 4
+    offs = [(dy, dx) for dy in range(-rr, rr + 1)
+            for dx in range(-rr, rr + 1)]
+    sads = jnp.stack([
+        jnp.abs(cur_l - warped[:, b1 + dy:b1 + dy + 16,
+                               :, b1 + dx:b1 + dx + 16]).sum((1, 3))
+        for dy, dx in offs])               # (49, mbh, mbw)
+    k = jnp.argmin(sads, axis=0)
+    sad = jnp.min(sads, axis=0)
+    offs_a = jnp.asarray(np.array(offs, np.int32))
+    noff = len(offs)
+    off = (jnp.stack([jnp.where(k == i, 1, 0) for i in range(noff)], 0)
+           [:, :, :, None] * offs_a[:, None, None, :]).sum(0)
+    mv_full = cmv + off
+
+    # warp 2: re-center windows at the refined MV (49-way select)
+    w2 = 16 + 2 * 4
+    warped2 = jnp.zeros((mbh, w2, mbw, w2), jnp.int32)
+    for i, (dy, dx) in enumerate(offs):
+        cand = warped[:, b1 + dy - 4:b1 + dy - 4 + w2,
+                      :, b1 + dx - 4:b1 + dx - 4 + w2]
+        warped2 = warped2 + jnp.where((k == i)[:, None, :, None], cand, 0)
+
+    # half-pel planes of the warped windows (spec 8.4.2.2.1 filters and
+    # rounding; shift-invariance makes window-local interpolation equal
+    # to sampling the global planes)
+    w2t = warped2.transpose(0, 2, 1, 3)    # (mbh, mbw, 24, 24)
+    bxu = _tap6_last(w2t)                  # b at (y, x=k+2), unrounded
+    b_w = jnp.clip((bxu + 16) >> 5, 0, 255)
+    hyu = _tap6_last(w2t.swapaxes(-1, -2)).swapaxes(-1, -2)
+    h_w = jnp.clip((hyu + 16) >> 5, 0, 255)
+    jxy = _tap6_last(bxu.swapaxes(-1, -2)).swapaxes(-1, -2)
+    j_w = jnp.clip((jxy + 512) >> 10, 0, 255)
+
+    base = 4
+    cur_mb = y32.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+    half_cands = [(0, 0), (0, 2), (0, -2), (2, 0), (-2, 0),
+                  (2, 2), (2, -2), (-2, 2), (-2, -2)]
+
+    def half_pred(oy, ox):
+        iy = base + (oy >> 2)
+        ix = base + (ox >> 2)
+        fy, fx = (oy >> 1) & 1, (ox >> 1) & 1
+        if not fy and not fx:
+            return w2t[..., iy:iy + 16, ix:ix + 16]
+        if fy and not fx:
+            return h_w[..., iy - 2:iy - 2 + 16, ix:ix + 16]
+        if fx and not fy:
+            return b_w[..., iy:iy + 16, ix - 2:ix - 2 + 16]
+        return j_w[..., iy - 2:iy - 2 + 16, ix - 2:ix - 2 + 16]
+
+    preds = [half_pred(oy, ox) for oy, ox in half_cands]
+    hsads = jnp.stack([jnp.abs(cur_mb - p).sum((-1, -2)) for p in preds])
+    hk = jnp.argmin(hsads, axis=0)
+    pred = jnp.zeros_like(preds[0])
+    for i, p in enumerate(preds):
+        pred = pred + jnp.where((hk == i)[..., None, None], p, 0)
+    hoff = jnp.asarray(np.array(half_cands, np.int32))
+    hsel = (jnp.stack([jnp.where(hk == i, 1, 0) for i in
+                       range(len(half_cands))], 0)[..., None]
+            * hoff[:, None, None, :]).sum(0)
+    mv_q = mv_full * 4 + hsel
+    return mv_q, cmv, pred, sad
+
+
+def _mc_chroma_dense(ref_c32, cmv, mv_q):
+    """Chroma MC (spec 8.4.2.2.2 bilinear) via hierarchical dense
+    select-warp: coarse chroma shift (81-way, = luma cmv / 2) then the
+    small residual integer offset (25-way), then per-MB-weight bilinear.
+    Returns (mbh, mbw, 8, 8) int32."""
+    hc, wc = ref_c32.shape
+    mbh, mbw = hc // 8, wc // 8
+    reach_c = 2 * COARSE_RANGE
+    marg_c = reach_c + 3
+    apron = tile_apron(ref_c32, 8, marg_c)
+
+    wc1 = 8 + 2 * 3
+    o1 = marg_c - 3
+    warped = jnp.zeros((mbh, wc1, mbw, wc1), jnp.int32)
+    for dy in range(-reach_c, reach_c + 1, 2):
+        rsel = apron[:, o1 + dy:o1 + dy + wc1, :, :]
+        for dx in range(-reach_c, reach_c + 1, 2):
+            cand = rsel[:, :, :, o1 + dx:o1 + dx + wc1]
+            m = (cmv[..., 0] == 2 * dy) & (cmv[..., 1] == 2 * dx)
+            warped = warped + jnp.where(m[:, None, :, None], cand, 0)
+
+    extra = (mv_q >> 3) - (cmv >> 1)       # in [-2, 2]
+    wc2 = 9
+    warped2 = jnp.zeros((mbh, wc2, mbw, wc2), jnp.int32)
+    for ey in range(-2, 3):
+        for ex in range(-2, 3):
+            cand = warped[:, 3 + ey:3 + ey + wc2, :, 3 + ex:3 + ex + wc2]
+            m = (extra[..., 0] == ey) & (extra[..., 1] == ex)
+            warped2 = warped2 + jnp.where(m[:, None, :, None], cand, 0)
+
+    wt = warped2.transpose(0, 2, 1, 3)     # (mbh, mbw, 9, 9)
+    a = wt[..., :8, :8]
+    b = wt[..., :8, 1:9]
+    c = wt[..., 1:9, :8]
+    d = wt[..., 1:9, 1:9]
+    yf = (mv_q[..., 0] & 7)[..., None, None]
+    xf = (mv_q[..., 1] & 7)[..., None, None]
+    return ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+            + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
+
+
+@jax.jit
 def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
-    """Encode a P frame (all P_L0_16x16, full-pel MVs, prev-frame ref).
+    """Encode a P frame (all P_L0_16x16, half-pel MVs, prev-frame ref).
 
     Returns per-MB arrays: mv (mbh,mbw,2), luma levels (mbh,mbw,4,4,16)
     (full 16-coeff blocks, zigzag), chroma DC/AC, recon planes.
@@ -256,11 +453,10 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
     h, w = y.shape
     mbh, mbw = h // 16, w // 16
 
-    mv_full, sad = motion_search_fullpel(y, ref_y)
-    cur_y = _mb_view(y.astype(jnp.int32))
-    planes = half_pel_planes(ref_y)
-    mv = halfpel_refine(cur_y, planes, mv_full)         # quarter-pel
-    pred_y = mc_luma_qpel(planes, mv)                   # (mbh,mbw,16,16)
+    y32 = y.astype(jnp.int32)
+    mv, cmv, pred_t, sad = _me_mc_luma(y32, ref_y.astype(jnp.int32))
+    cur_y = _mb_view(y32)
+    pred_y = pred_t                                     # (mbh,mbw,16,16)
     res_y = cur_y - pred_y
     blocks = to_blocks4(res_y)                          # (mbh,mbw,4,4,4,4)
     wcoef = fdct4(blocks)
@@ -273,7 +469,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
         dequant_dc2, hadamard2_fwd, quant_dc2)
 
     def chroma_comp(plane, ref_plane):
-        pred = mc_chroma(ref_plane, mv)                 # (mbh,mbw,8,8)
+        pred = _mc_chroma_dense(ref_plane.astype(jnp.int32), cmv, mv)
         cur = _mb_view(plane.astype(jnp.int32), 8)
         res = cur - pred
         wc = fdct4(to_blocks4(res))                     # (mbh,mbw,2,2,4,4)

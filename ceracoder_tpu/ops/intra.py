@@ -150,7 +150,7 @@ def _encode_mb(ymb, umb, vmb, ly, lu, lv, qp, qp_c):
                  recon_v[:, 7].astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qp_c"))
+@jax.jit
 def encode_frame_i16_rows(y, u, v, qp: int, qp_c: int):
     """Encode a frame as Intra_16x16 with one slice per MB row.
 
