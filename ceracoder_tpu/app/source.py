@@ -63,6 +63,82 @@ class TestPatternSource:
             i += 1
 
 
+class DeviceTestPatternSource:
+    """Moving test pattern generated ON DEVICE (jitted), so no raw
+    frames cross the host<->device link — the TPU-native analog of the
+    reference's test-pattern pipelines (reference:
+    pipeline/jetson/h265_test_pattern). Yields device arrays; the
+    encoder consumes them in place.
+
+    The pattern combines colour bars, a scrolling gradient band, a
+    bouncing high-contrast block (exercises motion estimation), and a
+    per-frame deterministic texture field (exercises entropy coding at
+    a realistic coded size for the chosen `texture` amplitude).
+    """
+
+    __test__ = False
+
+    def __init__(self, width: int = 1280, height: int = 720,
+                 fps_num: int = 30, fps_den: int = 1,
+                 num_frames: Optional[int] = None, texture: int = 8):
+        self.width, self.height = width, height
+        self.fps_num, self.fps_den = fps_num, fps_den
+        self.num_frames = num_frames
+        self.texture = texture
+
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        h, w = height, width
+        bar_luma = np.array([235, 210, 170, 145, 106, 81, 41, 16], np.int32)
+        bar_cb = np.array([128, 16, 166, 54, 202, 90, 240, 128], np.int32)
+        bar_cr = np.array([128, 146, 16, 34, 222, 240, 110, 128], np.int32)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def gen(i):
+            yy, xx = jnp.mgrid[0:h, 0:w]
+            bar = xx * 8 // w
+            y = jnp.asarray(bar_luma)[bar]
+            shift = (i * 4) % w
+            band = (yy >= h // 3) & (yy < 2 * h // 3)
+            y = jnp.where(band, (xx + shift) * 255 // w, y)
+            bx = (i * 7) % (w - 64)
+            by = h * 3 // 4
+            blk = ((yy >= by) & (yy < by + 48)
+                   & (xx >= bx) & (xx < bx + 64))
+            y = jnp.where(blk, jnp.where(i % 2 == 0, 255, 16), y)
+            # deterministic per-frame texture (cheap integer hash)
+            if texture:
+                xu = xx.astype(jnp.uint32)
+                yu = yy.astype(jnp.uint32)
+                iu = (i + 1).astype(jnp.uint32)
+                n = (xu * jnp.uint32(374761393)
+                     + yu * jnp.uint32(668265263)
+                     + iu * jnp.uint32(2246822519))
+                n = (n ^ (n >> 13)) * jnp.uint32(1274126177)
+                t = ((n >> 24) & 0xFF).astype(jnp.int32) % (2 * texture + 1)
+                y = jnp.clip(y + t - texture, 0, 255)
+            u = jnp.asarray(bar_cb)[bar[::2, ::2]]
+            v = jnp.asarray(bar_cr)[bar[::2, ::2]]
+            return (y.astype(jnp.uint8), u.astype(jnp.uint8),
+                    v.astype(jnp.uint8))
+
+        self._gen = gen
+
+    def frame(self, i: int):
+        """Device (y, u, v) planes for frame index i."""
+        import jax.numpy as jnp
+        return self._gen(jnp.int32(i))
+
+    def frames(self):
+        i = 0
+        while self.num_frames is None or i < self.num_frames:
+            yield self.frame(i)
+            i += 1
+
+
 class Y4MFileSource:
     """YUV4MPEG2 file reader (4:2:0 only)."""
 

@@ -354,8 +354,9 @@ def compact_rows(words, row_bytes, totcap: int):
     dense gather instead of four byte gathers — and the row index per
     word is a 68-way compare-sum, not a search.
 
-    Returns a (R + totcap//4,) uint32 buffer: R row byte counts, then
-    the rows at word-aligned offsets. One transfer moves everything.
+    Returns (row_bytes (R,) uint32, stream (totcap//4,) uint32). The
+    stream is transferred to the host in fixed CHUNK_WORDS pieces so
+    only the words actually used ever cross the link.
     """
     r = row_bytes.shape[0]
     capw_pad = words.shape[1]
@@ -376,7 +377,7 @@ def compact_rows(words, row_bytes, totcap: int):
     stream = jnp.where(k < rw_sel,
                        flat[jnp.clip(row * capw_pad + k, 0,
                                      flat.shape[0] - 1)], 0)
-    return jnp.concatenate([row_bytes.astype(jnp.uint32), stream])
+    return row_bytes.astype(jnp.uint32), stream
 
 
 # ---------------------------------------------------------------------------
@@ -555,12 +556,24 @@ def assemble_p_slots(outs):
     return vals, lens
 
 
+# words per transfer chunk of the packed stream (32 KB). The host
+# fetches ceil(used_words / CHUNK_WORDS) chunks, so per-frame transfer
+# cost tracks the real coded size, not the worst-case capacity.
+CHUNK_WORDS = 8192
+
+
+def _to_chunks(stream):
+    k = stream.shape[0] // CHUNK_WORDS
+    return tuple(stream[i * CHUNK_WORDS:(i + 1) * CHUNK_WORDS]
+                 for i in range(k))
+
+
 def pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw: int,
                totcap: int):
     """Join per-row [header | MB slots | stop] and pack into one buffer.
 
-    hdr_*: (R, HDR_SLOTS); mb_*: (R, T). Returns the (R + totcap//4,)
-    uint32 buffer of compact_rows."""
+    hdr_*: (R, HDR_SLOTS); mb_*: (R, T). Returns (row_bytes (R,)
+    uint32, tuple of CHUNK_WORDS-word stream chunks)."""
     r = hdr_vals.shape[0]
     vals = jnp.concatenate(
         [hdr_vals.astype(jnp.uint32), mb_vals,
@@ -571,7 +584,8 @@ def pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw: int,
     vals, lens = finalize_rows(vals, lens)
     words, total = pack_rows(vals, lens, capw)
     row_bytes = total >> 3
-    return compact_rows(words, row_bytes, totcap)
+    hdr, stream = compact_rows(words, row_bytes, totcap)
+    return hdr, _to_chunks(stream)
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +597,7 @@ def encode_i_frame_packed(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
                           capw: int, totcap: int, deblock: bool):
     """IDR frame: intra encode + deblock + CAVLC + pack, one dispatch.
 
-    Returns (packed buffer (4R+totcap,) uint8, recon tuple)."""
+    Returns ((row_bytes, stream chunks), recon tuple)."""
     from ceracoder_tpu.ops.deblock import deblock_frame_rows
     from ceracoder_tpu.ops.intra import encode_frame_i16_rows
 

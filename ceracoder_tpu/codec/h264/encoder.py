@@ -159,8 +159,13 @@ class H264Encoder:
         # the host entropy path for that frame (detected exactly)
         cap = row_capacity_bytes or max(2048, self.mbw * 192)
         self._capw = (cap + 3) // 4
-        self._totcap = frame_capacity_bytes or max(
-            1 << 16, width * height // 6)
+        totcap = frame_capacity_bytes or max(1 << 16, width * height // 6)
+        from ceracoder_tpu.codec.h264.device_entropy import CHUNK_WORDS
+        chunk_bytes = CHUNK_WORDS * 4
+        self._totcap = -(-totcap // chunk_bytes) * chunk_bytes
+        # adaptive transfer prefetch: chunks used by the last frame of
+        # each kind (I / P), +1 margin, started at dispatch time
+        self._prev_chunks = {True: 4, False: 1}
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
                              fps_num=fps_num, fps_den=fps_den)
@@ -235,22 +240,33 @@ class H264Encoder:
             encode_i_frame_packed, encode_p_frame_packed)
         hv, hl = self._hdr_arrays(idr, qp, frame_num, idr_pic_id)
         if idr:
-            buf, recon = encode_i_frame_packed(
+            (hdr, chunks), recon = encode_i_frame_packed(
                 yj, uj, vj, qp, qp_c, hv, hl,
                 capw=self._capw, totcap=self._totcap,
                 deblock=self.deblock)
         else:
-            buf, recon = encode_p_frame_packed(
+            (hdr, chunks), recon = encode_p_frame_packed(
                 yj, uj, vj, *prev_ref, qp, qp_c, hv, hl,
                 capw=self._capw, totcap=self._totcap,
                 deblock=self.deblock)
         self._ref = recon
         self._advance_state(idr)
         self.frame_idx += 1
+        # start device->host copies now so they overlap with later
+        # frames' compute: the row-byte header plus the number of
+        # stream chunks the previous frame of this kind needed (+1
+        # margin). Blocking transfers have a ~35 ms latency floor over
+        # the axon tunnel; prefetched ones land in the background.
+        try:
+            hdr.copy_to_host_async()
+            for c in chunks[:self._prev_chunks[idr] + 1]:
+                c.copy_to_host_async()
+        except AttributeError:
+            pass
 
         def finish() -> EncodedFrame:
             data = self._frame_bytes_from_buf(
-                np.asarray(buf), idr, qp, qp_c, yj, uj, vj, frame_num,
+                hdr, chunks, idr, qp, qp_c, yj, uj, vj, frame_num,
                 idr_pic_id, prev_ref)
             return EncodedFrame(data=data, keyframe=idr, qp=qp,
                                 _recon_dev=recon)
@@ -267,22 +283,27 @@ class H264Encoder:
                 1 << self.sps.log2_max_frame_num)
             self._gop_pos += 1
 
-    def _frame_bytes_from_buf(self, buf: np.ndarray, idr: bool, qp: int,
+    def _frame_bytes_from_buf(self, hdr, chunks, idr: bool, qp: int,
                               qp_c: int, yj, uj, vj, frame_num: int,
                               idr_pic_id: int, prev_ref) -> bytes:
         """Split the device-packed buffer into per-row NAL units; on
         capacity overflow, redo the frame through the host entropy
         path (exact, just slower)."""
+        from ceracoder_tpu.codec.h264.device_entropy import CHUNK_WORDS
         mbh = self.mbh
-        row_bytes = buf[:mbh].astype(np.int64)
+        row_bytes = np.asarray(hdr).astype(np.int64)
         row_words = (row_bytes + 3) >> 2
         if (int(row_words.sum()) > self._totcap // 4
                 or int(row_bytes.max()) > self._capw * 4):
             data, _ = self._encode_host_path(
                 yj, uj, vj, qp, qp_c, idr, frame_num, idr_pic_id, prev_ref)
             return data
+        used_words = int(row_words.sum())
+        nch = max(1, -(-used_words // CHUNK_WORDS))
+        self._prev_chunks[idr] = nch
         # device words are MSB-first byte containers
-        stream = buf[mbh:].astype(">u4").tobytes()
+        stream = np.concatenate(
+            [np.asarray(c) for c in chunks[:nch]]).astype(">u4").tobytes()
         nals = []
         off = 0
         ref_idc, ntype = (3, NAL_IDR) if idr else (2, NAL_SLICE)
