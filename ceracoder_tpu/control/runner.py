@@ -32,7 +32,7 @@ class BalancerRunner:
     def __init__(self, cfg: CeracoderConfig,
                  algo_name_override: Optional[str] = None,
                  srt_latency: int = 2000, srt_pkt_size: int = 1316,
-                 quiet: bool = False) -> None:
+                 quiet: bool = False, prefer_native: bool = True) -> None:
         name = algo_name_override if algo_name_override else cfg.balancer
         algo = balancer_find(name)
         if algo is None:
@@ -42,6 +42,13 @@ class BalancerRunner:
                     + balancer_available_text())
             algo = balancer_get_default()
         self.algo = algo
+        # production path runs the C++ core (parity-tested against the
+        # Python spec implementations in tests/test_native.py); the
+        # Python path remains as fallback and executable spec
+        self._native = False
+        if prefer_native:
+            from ceracoder_tpu.native import load as native_load
+            self._native = native_load() is not None
 
         self.config = BalancerConfig(
             min_bitrate=bitrate_bps(cfg.min_bitrate),
@@ -57,11 +64,21 @@ class BalancerRunner:
             aimd_incr_interval=cfg.aimd.incr_interval,
             aimd_decr_interval=cfg.aimd.decr_interval,
         )
-        self.state = self.algo(self.config)
+        self.state = self._make_state()
         if not quiet:
-            print(f"Balancer: {self.algo.name}", file=sys.stderr)
+            impl = "native" if self._native else "python"
+            print(f"Balancer: {self.algo.name} ({impl})", file=sys.stderr)
             print(f"Bitrate range: {self.config.min_bitrate // 1000} - "
                   f"{self.config.max_bitrate // 1000} Kbps", file=sys.stderr)
+
+    def _make_state(self):
+        if self._native:
+            from ceracoder_tpu.native import NativeBalancer
+            try:
+                return NativeBalancer(self.algo.name, self.config)
+            except (RuntimeError, ValueError):
+                self._native = False
+        return self.algo(self.config)
 
     @property
     def name(self) -> str:
@@ -75,4 +92,4 @@ class BalancerRunner:
         losing accumulated state (reference: balancer_runner.c:80-89)."""
         self.config.min_bitrate = min_bitrate
         self.config.max_bitrate = max_bitrate
-        self.state = self.algo(self.config)
+        self.state = self._make_state()

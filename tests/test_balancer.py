@@ -24,7 +24,10 @@ def make_runner(balancer="adaptive", min_kbps=500, max_kbps=6000,
         # e.g. adaptive_incr_step -> cfg.adaptive.incr_step
         group, _, key = k.partition("_")
         setattr(getattr(cfg, group), key, v)
-    return BalancerRunner(cfg, srt_latency=latency, quiet=True)
+    # prefer_native=False: these tests white-box the Python spec
+    # implementation's state; native parity is tests/test_native.py
+    return BalancerRunner(cfg, srt_latency=latency, quiet=True,
+                          prefer_native=False)
 
 
 def good_input(ts, rtt=50.0, bs=5, rate=5.0):
