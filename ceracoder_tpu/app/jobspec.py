@@ -16,6 +16,12 @@ Example::
     [encode]
     codec = h264           # h264 | hevc (hevc pending)
     gop = 60               # frames between IDRs (2 s of frames default)
+
+    [audio]
+    kind = tone            # none | tone | wav
+    # path = in.wav        # for wav
+    bitrate = 128          # Kbps (reference default: common.ts 128 kbps)
+    delay_ms = 0           # a_delay analog (reference: cb_delay)
 """
 
 from __future__ import annotations
@@ -42,6 +48,10 @@ class JobSpec:
     codec: str = "h264"
     gop: int = 0          # 0 = 2 s of frames (reference GOP policy)
     loop: bool = True
+    audio_kind: str = "none"      # none | tone | wav
+    audio_path: str = ""
+    audio_bitrate: int = 128      # Kbps
+    audio_delay_ms: int = 0       # a_delay analog
 
     @property
     def fps(self) -> float:
@@ -90,6 +100,15 @@ def parse_jobspec(path: str | Path) -> JobSpec:
                 spec.codec = val
             elif key == "gop":
                 spec.gop = int(val)
+        elif section == "audio":
+            if key == "kind":
+                spec.audio_kind = val
+            elif key == "path":
+                spec.audio_path = val
+            elif key == "bitrate":
+                spec.audio_bitrate = int(val)
+            elif key == "delay_ms":
+                spec.audio_delay_ms = int(val)
     return spec
 
 

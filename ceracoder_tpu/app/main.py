@@ -154,7 +154,27 @@ class CeracoderApp:
                                    gop=self.spec.gop_frames)
         self.encoder.sps.width = self.source.width
         self.encoder.sps.height = self.source.height
-        self.mux = TsMuxer()
+        # audio branch (reference: alsasrc -> a_delay -> AAC -> mux;
+        # pipeline audio chains, common.ts:55-90)
+        self.audio = None
+        self.audio_src = None
+        if self.spec.audio_kind not in ("", "none"):
+            from ceracoder_tpu.audio import (
+                AudioPipeline, ToneSource, WavSource, aac_available)
+            if aac_available():
+                if self.spec.audio_kind == "wav":
+                    self.audio_src = WavSource(self.spec.audio_path)
+                else:
+                    self.audio_src = ToneSource()
+                self.audio = AudioPipeline(
+                    sample_rate=self.audio_src.sample_rate,
+                    channels=self.audio_src.channels,
+                    bitrate=self.spec.audio_bitrate * 1000,
+                    delay_ms=self.spec.audio_delay_ms)
+            else:
+                print("audio requested but AAC encoder unavailable; "
+                      "continuing video-only", file=sys.stderr)
+        self.mux = TsMuxer(with_audio=self.audio is not None)
         self.packer = TsPacker(pkt_size=pkt)
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0
@@ -270,6 +290,14 @@ class CeracoderApp:
 
                 ts = self.mux.mux_video(au, pts90=pts,
                                         keyframe=frame.keyframe)
+                if self.audio is not None:
+                    # one video period's worth of samples keeps A/V in
+                    # lockstep; the AAC frame boundary crossing is
+                    # handled by the encoder's internal FIFO
+                    n = round(self.audio_src.sample_rate
+                              * self.source.fps_den / self.source.fps_num)
+                    for af in self.audio.feed(self.audio_src.read(n)):
+                        ts += self.mux.mux_audio(af.adts, af.pts90)
                 pts += int(90000 * self.source.fps_den / self.source.fps_num)
                 for payload in self.packer.feed(ts):
                     if not self.transport.send(payload):
