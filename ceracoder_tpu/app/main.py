@@ -148,12 +148,21 @@ class CeracoderApp:
 
         w = (self.source.width + 15) // 16 * 16
         h = (self.source.height + 15) // 16 * 16
-        self.encoder = H264Encoder(w, h, qp=self.rate.current_qp,
-                                   fps_num=self.source.fps_num,
-                                   fps_den=self.source.fps_den,
-                                   gop=self.spec.gop_frames)
-        self.encoder.sps.width = self.source.width
-        self.encoder.sps.height = self.source.height
+        if self.spec.codec == "hevc":
+            from ceracoder_tpu.codec.h265.encoder import H265AppEncoder
+            self.encoder = H265AppEncoder(
+                self.source.width, self.source.height,
+                qp=self.rate.current_qp, fps_num=self.source.fps_num,
+                fps_den=self.source.fps_den, gop=self.spec.gop_frames)
+            self.video_stream_type = 0x24   # STREAM_TYPE_HEVC
+        else:
+            self.encoder = H264Encoder(w, h, qp=self.rate.current_qp,
+                                       fps_num=self.source.fps_num,
+                                       fps_den=self.source.fps_den,
+                                       gop=self.spec.gop_frames)
+            self.encoder.sps.width = self.source.width
+            self.encoder.sps.height = self.source.height
+            self.video_stream_type = 0x1B   # STREAM_TYPE_H264
         # audio branch (reference: alsasrc -> a_delay -> AAC -> mux;
         # pipeline audio chains, common.ts:55-90)
         self.audio = None
@@ -174,7 +183,8 @@ class CeracoderApp:
             else:
                 print("audio requested but AAC encoder unavailable; "
                       "continuing video-only", file=sys.stderr)
-        self.mux = TsMuxer(with_audio=self.audio is not None)
+        self.mux = TsMuxer(video_stream_type=self.video_stream_type,
+                           with_audio=self.audio is not None)
         self.packer = TsPacker(pkt_size=pkt)
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0

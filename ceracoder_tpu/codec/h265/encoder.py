@@ -127,7 +127,7 @@ class H265IntraEncoder:
         return write_vps(p) + write_sps(p) + write_pps(p)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
-                     v: np.ndarray) -> bytes:
+                     v: np.ndarray, qp: int | None = None) -> bytes:
         from ceracoder_tpu.codec.h265 import intra as I
         from ceracoder_tpu.codec.h265.ctx_tables import (
             build_i_slice_contexts)
@@ -135,6 +135,8 @@ class H265IntraEncoder:
 
         p = self.params
         ctb = p.ctb
+        if qp is not None:
+            self.qp, self.qp_c = qp, I.chroma_qp(qp)
         qp, qp_c = self.qp, self.qp_c
         y = _pad(np.asarray(y), self.ph, self.pw).astype(np.int32)
         u = _pad(np.asarray(u), self.ph // 2, self.pw // 2).astype(np.int32)
@@ -242,6 +244,36 @@ class H265IntraEncoder:
                       rec_v[:self.height // 2, :self.width // 2]
                       .astype(np.uint8))
         return nal_unit(NAL_IDR_W_RADL, enc.to_bytes())
+
+
+class H265AppEncoder:
+    """Adapter matching the H264Encoder surface the app loop drives
+    (encode_frame -> EncodedFrame-like with .data/.keyframe/.qp);
+    all-intra HEVC for now, so every frame is an IDR."""
+
+    def __init__(self, width: int, height: int, qp: int = 32,
+                 fps_num: int = 0, fps_den: int = 1, gop: int = 1,
+                 **_ignored):
+        self._enc = H265IntraEncoder(width, height, qp=qp)
+        self.qp = qp
+
+    def headers(self) -> bytes:
+        return self._enc.headers()
+
+    def encode_frame(self, y, u, v, qp: int | None = None,
+                     force_idr: bool = False):
+        qp = self.qp if qp is None else qp
+        data = self._enc.encode_frame(y, u, v, qp=qp)
+
+        class _F:
+            pass
+
+        f = _F()
+        f.data = data
+        f.keyframe = True
+        f.qp = qp
+        f.recon = self._enc.recon
+        return f
 
 
 def _mpm_list(cand_a: int, cand_b: int) -> list[int]:

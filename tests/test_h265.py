@@ -221,3 +221,21 @@ class TestIntraConformance:
         u = np.full((h // 2, w // 2), 128, np.uint8)
         v = np.full((h // 2, w // 2), 128, np.uint8)
         self._check(y, u, v, 27, tmp_path, "edges")
+
+
+def test_app_hevc_ts_end_to_end(tmp_path):
+    """Full app run with codec=hevc: HEVC-in-TS (stream_type 0x24)
+    decodable by the oracle."""
+    from ceracoder_tpu.app.cli import parse_args
+    from ceracoder_tpu.app.main import CeracoderApp
+
+    job = tmp_path / "job.ini"
+    job.write_text("[source]\nkind = test\nwidth = 160\nheight = 96\n"
+                   "fps = 30\n[encode]\ncodec = hevc\n")
+    out = tmp_path / "hevc.ts"
+    opts = parse_args([str(job), str(out), "0"])
+    app = CeracoderApp(opts, max_frames=5, realtime=False)
+    assert app.run() == 0
+    r = subprocess.run([str(oracle()), str(out), str(tmp_path / "o.yuv")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "frames=5" in r.stderr
