@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Rate-distortion comparison: ceracoder_tpu encoders vs libx264.
+
+Encodes the same clip with our H.264 (and optionally HEVC intra)
+encoder across a QP sweep and with x264 (via tools/x264_ref) at the
+matched bitrates, decodes everything with the libavcodec oracle, and
+reports bitrate/PSNR pairs plus the interpolated PSNR delta at matched
+bitrate — the BASELINE.md "PSNR vs x264 at matched bitrate" metric.
+
+Usage: python tools/rd_compare.py [--frames N] [--size WxH] [--gop G]
+Runs on CPU (forces JAX cpu platform) so it is TPU-independent.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from ceracoder_tpu.app.source import TestPatternSource  # noqa: E402
+
+TOOLS = ROOT / "tools"
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def decode(path, w, h):
+    out = str(path) + ".yuv"
+    subprocess.run([str(TOOLS / "decode_oracle"), str(path), out],
+                   check=True, capture_output=True)
+    raw = np.fromfile(out, np.uint8)
+    fsz = w * h * 3 // 2
+    n = raw.size // fsz
+    return [raw[i * fsz:i * fsz + w * h].reshape(h, w) for i in range(n)]
+
+
+def ours_h264(frames, w, h, qp, gop):
+    from ceracoder_tpu.codec.h264.encoder import H264Encoder
+    enc = H264Encoder(w, h, qp=qp, gop=gop)
+    bs = enc.headers()
+    for f in frames:
+        bs += enc.encode_frame(*f).data
+    return bs
+
+
+def ours_hevc(frames, w, h, qp):
+    from ceracoder_tpu.codec.h265.encoder import H265IntraEncoder
+    enc = H265IntraEncoder(w, h, qp=qp)
+    bs = enc.headers()
+    for f in frames:
+        bs += enc.encode_frame(*f)
+    return bs
+
+
+def x264(yuv_path, w, h, fps, out, preset, rate):
+    subprocess.run([str(TOOLS / "x264_ref"), str(yuv_path), str(w),
+                    str(h), str(fps), str(out), preset, rate],
+                   check=True, capture_output=True)
+
+
+def measure(tag, bs, frames, w, h, tmp, seconds):
+    p = tmp / f"{tag}.264"
+    p.write_bytes(bs)
+    dec = decode(p, w, h)
+    ps = np.mean([psnr(d, f[0]) for d, f in zip(dec, frames)])
+    kbps = len(bs) * 8 / seconds / 1000
+    return kbps, ps
+
+
+def interp_psnr(curve, kbps):
+    """PSNR at the given bitrate by linear interpolation in log-rate."""
+    curve = sorted(curve)
+    xs = np.log([c[0] for c in curve])
+    ys = [c[1] for c in curve]
+    return float(np.interp(np.log(kbps), xs, ys))
+
+
+def synth_motion_clip(w, h, n_frames, seed=11):
+    """Natural-ish clip with coherent motion: a fixed band-limited
+    texture field panning with subpixel velocity plus a moving
+    high-contrast object — motion-compensable (unlike per-frame noise)
+    but not trivially skippable (unlike a static pattern)."""
+    rng = np.random.default_rng(seed)
+    big_h, big_w = h + 128, w + 128
+    base = rng.normal(0, 1, (big_h, big_w))
+    # band-limit with a separable blur to get image-like spectra
+    k = np.exp(-0.5 * (np.arange(-7, 8) / 2.5) ** 2)
+    k /= k.sum()
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), ax, base)
+    base = (base - base.min()) / (base.max() - base.min())
+    tex = (base * 160 + 48)
+
+    frames = []
+    for i in range(n_frames):
+        # pan at 1.5 px/frame horizontally, 0.5 vertically
+        ox, oy = 1.5 * i, 0.5 * i
+        x0, y0 = int(ox), int(oy)
+        fx, fy = ox - x0, oy - y0
+        win = tex[y0:y0 + h + 1, x0:x0 + w + 1]
+        y_f = ((1 - fx) * (1 - fy) * win[:h, :w]
+               + fx * (1 - fy) * win[:h, 1:w + 1]
+               + (1 - fx) * fy * win[1:h + 1, :w]
+               + fx * fy * win[1:h + 1, 1:w + 1])
+        # moving object
+        bx = (20 + 3 * i) % (w - 40)
+        by = (h // 3 + i) % (h - 30)
+        y_f[by:by + 24, bx:bx + 32] = 225
+        y_plane = y_f.clip(0, 255).astype(np.uint8)
+        u_plane = (tex[y0 // 2:y0 // 2 + h // 2, x0 // 2:x0 // 2 + w // 2]
+                   * 0.3 + 100).clip(0, 255).astype(np.uint8)
+        v_plane = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y_plane, u_plane, v_plane))
+    return frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--size", default="320x192")
+    ap.add_argument("--gop", type=int, default=30)
+    ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument("--hevc", action="store_true")
+    args = ap.parse_args()
+    w, h = map(int, args.size.split("x"))
+    seconds = args.frames / args.fps
+
+    import tempfile
+    tmp = Path(tempfile.mkdtemp(prefix="rd_"))
+    frames = synth_motion_clip(w, h, args.frames)
+    yuv = tmp / "src.yuv"
+    with open(yuv, "wb") as f:
+        for (y, u, v) in frames:
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+
+    print(f"clip: {w}x{h}p{args.fps}, {args.frames} frames, "
+          f"gop {args.gop}")
+    ours_curve = []
+    for qp in (22, 27, 32, 37):
+        bs = ours_h264(frames, w, h, qp, args.gop)
+        kbps, ps = measure(f"ours_q{qp}", bs, frames, w, h, tmp, seconds)
+        ours_curve.append((kbps, ps))
+        print(f"  ours-h264 qp={qp}: {kbps:8.1f} kbps  {ps:5.2f} dB")
+
+    x264_curve = []
+    for kbps, _ in ours_curve:
+        out = tmp / f"x264_{int(kbps)}.264"
+        x264(yuv, w, h, args.fps, out, "medium", str(int(kbps * 1000)))
+        k2, ps = measure_x264(out, frames, w, h, seconds)
+        x264_curve.append((k2, ps))
+        print(f"  x264-medium @{kbps:.0f}k: {k2:8.1f} kbps  {ps:5.2f} dB")
+
+    deltas = []
+    for kbps, ps in ours_curve:
+        ref = interp_psnr(x264_curve, kbps)
+        deltas.append(ps - ref)
+        print(f"  at {kbps:8.1f} kbps: ours {ps:5.2f} vs x264 {ref:5.2f} "
+              f"-> delta {ps - ref:+.2f} dB")
+    print(f"mean PSNR delta vs x264-medium: {np.mean(deltas):+.2f} dB")
+
+    if args.hevc:
+        for qp in (27, 32, 37):
+            bs = ours_hevc(frames, w, h, qp)
+            kbps, ps = measure(f"hevc_q{qp}", bs, frames, w, h, tmp,
+                               seconds)
+            print(f"  ours-hevc-intra qp={qp}: {kbps:8.1f} kbps  "
+                  f"{ps:5.2f} dB")
+    return 0
+
+
+def measure_x264(path, frames, w, h, seconds):
+    dec = decode(path, w, h)
+    ps = np.mean([psnr(d, f[0]) for d, f in zip(dec, frames)])
+    kbps = path.stat().st_size * 8 / seconds / 1000
+    return kbps, ps
+
+
+if __name__ == "__main__":
+    sys.exit(main())
