@@ -51,21 +51,24 @@ LUMA_SNAKE = np.array([(0, 0), (0, 1), (1, 0), (1, 1),
 
 
 def table_lookup(table: np.ndarray, idx) -> jnp.ndarray:
-    """Small-table lookup as a dense compare-select (no gather).
-
-    Gathers on this TPU cost ~9 ns per element regardless of table
-    size; for tables up to a few hundred entries an unrolled
-    compare+add over the nonzero entries is an order of magnitude
-    faster. idx values outside the table map to 0.
-    """
+    """Table lookup tuned per size: unrolled compare-select for small
+    tables (cheap VPU selects, no gather latency), a single gather for
+    larger ones (an unrolled loop over hundreds of entries costs more
+    than the ~9 ns/element gather it avoids). Out-of-range idx maps to
+    0 via a sentinel row."""
     t = np.asarray(table).reshape(-1)
     idx = jnp.asarray(idx, jnp.int32)
-    out = jnp.zeros(idx.shape, jnp.int32)
-    for e in range(t.size):
-        v = int(t[e])
-        if v:
-            out = out + jnp.where(idx == e, v, 0)
-    return out
+    nz = int(np.count_nonzero(t))
+    if nz <= 48:
+        out = jnp.zeros(idx.shape, jnp.int32)
+        for e in range(t.size):
+            v = int(t[e])
+            if v:
+                out = out + jnp.where(idx == e, v, 0)
+        return out
+    ext = np.append(t, 0).astype(np.int32)
+    idx = jnp.where((idx >= 0) & (idx < t.size), idx, t.size)
+    return jnp.take(jnp.asarray(ext), idx)
 
 
 def snake_select(arr, coords):
@@ -264,12 +267,13 @@ def neighbor_nc_jax(nnz, rows_per_mb: int):
 # ---------------------------------------------------------------------------
 
 # symbols per packing chunk. A chunk's contributions must fit the
-# 128-word merge window (bitpack.WIN); with mostly-empty slot streams
-# (the CAVLC slot matrix is ~99% zero-width) 1024 slots span a few
-# words. Rows where any chunk exceeds the window are flagged by
-# inflating their bit count past capacity, which routes the frame to
-# the exact host-entropy fallback.
-PACK_CHUNK = 1024
+# 64-word (2048-bit) merge window (bitpack.WIN); with mostly-empty
+# slot streams (the CAVLC slot matrix is ~99% zero-width) 512 slots
+# span a few words. Rows where any chunk exceeds the window are
+# flagged by inflating their bit count past capacity, which routes the
+# frame to the exact host-entropy fallback. (Partials-build cost is
+# T x WIN, so the window is kept as narrow as overflow safety allows.)
+PACK_CHUNK = 512
 
 
 def pack_rows(vals, lens, capw: int):
@@ -280,14 +284,16 @@ def pack_rows(vals, lens, capw: int):
     uint32, total_bits (R,) int32). Rows overflowing capw*32 bits
     produce truncated words — callers detect via total_bits.
 
-    Scatter-free: symbols are grouped into 124-symbol chunks whose
-    contributions provably fit a 128-word window; per-chunk windows are
-    built with a dense select-reduce on the VPU (gathers/scatters on
-    this TPU cost ~9 ns/element — dense compare+sum is 40x faster),
-    then merged at data-dependent offsets by the Pallas kernel in
-    ops/bitpack.py with the word buffer VMEM-resident.
+    Scatter-free: symbols are grouped into PACK_CHUNK-symbol chunks
+    whose contributions fit a WIN-word window; per-chunk windows are
+    built with a single fused onehot select-reduce on the VPU
+    (gathers/scatters on this TPU cost ~9 ns/element — dense
+    compare+sum is far faster, and the single-expression form lets XLA
+    read the symbol arrays once instead of once per window word), then
+    merged at data-dependent offsets by the vectorized tree merge in
+    ops/bitpack.py.
     """
-    from ceracoder_tpu.ops.bitpack import WIN, merge_windows
+    from ceracoder_tpu.ops.bitpack import WIN, tree_merge
 
     vals = vals.astype(jnp.uint32)
     lens = lens.astype(jnp.int32)
@@ -316,12 +322,11 @@ def pack_rows(vals, lens, capw: int):
     sw = w0c[:, :, 0]
     local = w0c - sw[:, :, None]
 
-    parts = []
-    for word in range(WIN):
-        p = jnp.where(local == word, hic, 0).sum(-1)
-        p = p + jnp.where(local == word - 1, loc, 0).sum(-1)
-        parts.append(p)
-    partials = jnp.stack(parts, axis=-1).astype(jnp.uint32)
+    widx = jnp.arange(WIN, dtype=jnp.int32)
+    partials = (
+        jnp.where(local[..., None] == widx, hic[..., None], 0).sum(2)
+        + jnp.where(local[..., None] == widx - 1, loc[..., None], 0).sum(2)
+    ).astype(jnp.uint32)
 
     # rows where a chunk outgrew the window lose bits in the merge;
     # inflate their bit count so the caller's capacity check rejects
@@ -330,7 +335,7 @@ def pack_rows(vals, lens, capw: int):
     capw_pad = max(-(-capw // 128) * 128 + 2 * WIN, 4 * WIN)
     total = jnp.where(overflow, capw_pad * 32 + 8, total)
 
-    words = merge_windows(sw.astype(jnp.int32), partials, capw_pad)
+    words = tree_merge(sw.astype(jnp.int32), partials, capw_pad)
     return words, total
 
 
@@ -592,12 +597,8 @@ def pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw: int,
 # Jitted top-level entries (compute + entropy + pack in one dispatch)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
-def encode_i_frame_packed(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
-                          capw: int, totcap: int, deblock: bool):
-    """IDR frame: intra encode + deblock + CAVLC + pack, one dispatch.
-
-    Returns ((row_bytes, stream chunks), recon tuple)."""
+def _encode_i_impl(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
+                   capw: int, totcap: int, deblock: bool):
     from ceracoder_tpu.ops.deblock import deblock_frame_rows
     from ceracoder_tpu.ops.intra import encode_frame_i16_rows
 
@@ -614,11 +615,9 @@ def encode_i_frame_packed(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
     return buf, recon
 
 
-@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
-def encode_p_frame_packed(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
-                          hdr_vals, hdr_lens, capw: int, totcap: int,
-                          deblock: bool):
-    """P frame: ME/MC encode + deblock + CAVLC + pack, one dispatch."""
+def _encode_p_impl(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                   hdr_vals, hdr_lens, capw: int, totcap: int,
+                   deblock: bool):
     from ceracoder_tpu.ops.deblock import deblock_frame_rows
     from ceracoder_tpu.ops.inter import encode_frame_p
 
@@ -631,3 +630,78 @@ def encode_p_frame_packed(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     mb_vals, mb_lens = assemble_p_slots(outs)
     buf = pack_frame(hdr_vals, hdr_lens, mb_vals, mb_lens, capw, totcap)
     return buf, recon
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
+def encode_i_frame_packed(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
+                          capw: int, totcap: int, deblock: bool):
+    """IDR frame: intra encode + deblock + CAVLC + pack, one dispatch.
+
+    Returns ((row_bytes, stream chunks), recon tuple)."""
+    return _encode_i_impl(y, u, v, qp, qp_c, hdr_vals, hdr_lens,
+                          capw, totcap, deblock)
+
+
+@functools.partial(jax.jit, static_argnames=("capw", "totcap", "deblock"))
+def encode_p_frame_packed(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                          hdr_vals, hdr_lens, capw: int, totcap: int,
+                          deblock: bool):
+    """P frame: ME/MC encode + deblock + CAVLC + pack, one dispatch."""
+    return _encode_p_impl(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                          hdr_vals, hdr_lens, capw, totcap, deblock)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "capw", "totcap", "deblock", "any_idr", "source_fn"))
+def encode_run_packed(ys, us, vs, idr_mask, qps, qp_cs, hdr_vals,
+                      hdr_lens, ref_y, ref_u, ref_v, capw: int,
+                      totcap: int, deblock: bool, any_idr: bool,
+                      source_fn=None, frame_idx=None):
+    """Encode F consecutive frames in ONE device dispatch.
+
+    A lax.scan over frames carries the reconstructed reference, so a
+    whole GOP segment (IDR + P run, or a mid-GOP P run) launches as a
+    single executable. This amortizes per-launch dispatch latency —
+    the dominant cost for a real-time encoder (each XLA launch has a
+    fixed host->device round trip; over the dev-harness tunnel it is
+    ~35-40 ms while the 1080p per-frame compute is ~2 ms).
+
+    ys/us/vs: (F, H, W) & chroma planes — ignored when source_fn is
+        given, in which case frames are generated ON DEVICE from
+        frame_idx (F,) and never cross the host link at all (the
+        analog of the reference's test-pattern pipelines,
+        pipeline/jetson/h265_test_pattern).
+    idr_mask: (F,) bool — frame f coded intra (ignores the carry) or P.
+    qps/qp_cs: (F,) int32 — per-frame QP (traced: rate control changes
+        QP without recompiling).
+    hdr_vals/hdr_lens: (F, R, HDR_SLOTS) pre-built slice-header symbols.
+    any_idr: static; when False the intra branch is not even compiled.
+
+    Returns ((row_bytes (F, R), stream chunks tuple of (F, CW)),
+    recons tuple of (F, ...) stacked per-frame reconstructions).
+    """
+    def step(ref, xs):
+        y, u, v, idr, qp, qp_c, hv, hl, fi = xs
+        if source_fn is not None:
+            y, u, v = source_fn(fi)
+
+        def di(_):
+            return _encode_i_impl(y, u, v, qp, qp_c, hv, hl,
+                                  capw, totcap, deblock)
+
+        def dp(_):
+            return _encode_p_impl(y, u, v, *ref, qp, qp_c, hv, hl,
+                                  capw, totcap, deblock)
+
+        if any_idr:
+            buf, recon = jax.lax.cond(idr, di, dp, None)
+        else:
+            buf, recon = dp(None)
+        return recon, (buf, recon)
+
+    if frame_idx is None:
+        frame_idx = jnp.zeros(idr_mask.shape, jnp.int32)
+    xs = (ys, us, vs, idr_mask, qps, qp_cs, hdr_vals, hdr_lens, frame_idx)
+    _, ((hdrs, chunks), recons) = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v), xs)
+    return (hdrs, chunks), recons

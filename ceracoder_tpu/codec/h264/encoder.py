@@ -273,6 +273,161 @@ class H264Encoder:
 
         return PendingFrame(finish, idr, qp)
 
+    def encode_run_async(self, frames=None, qp: int | None = None,
+                         qps=None, source=None, indices=None,
+                         force_idr: bool = False) -> list[PendingFrame]:
+        """Encode a run of consecutive frames in ONE device dispatch.
+
+        Either `frames` (list of (y, u, v) plane tuples) or `source` +
+        `indices` (a device-side source whose jitted `gen(i)` produces
+        planes on device — no host->device pixel transfer at all).
+
+        A lax.scan inside the dispatch carries the reconstruction, so
+        the per-launch round trip is paid once per run instead of once
+        per frame; GOP scheduling (IDR placement) follows the same
+        state machine as encode_frame_async. Returns one PendingFrame
+        per input frame; device->host traffic is one row-byte header
+        plus ceil(max coded size / 32 KB) shared chunk arrays per run.
+        """
+        import jax.numpy as jnp
+        from ceracoder_tpu.codec.h264.device_entropy import (
+            HDR_SLOTS, encode_run_packed)
+
+        if not self.device_entropy:
+            raise ValueError("encode_run_async requires device_entropy")
+        if frames is not None:
+            nf = len(frames)
+        else:
+            nf = len(indices)
+        if nf == 0:
+            return []
+
+        idr_flags = np.zeros(nf, bool)
+        qp_arr = np.zeros(nf, np.int32)
+        qpc_arr = np.zeros(nf, np.int32)
+        hvs = np.zeros((nf, self.mbh, HDR_SLOTS), np.uint32)
+        hls = np.zeros((nf, self.mbh, HDR_SLOTS), np.int32)
+        frame_nums = np.zeros(nf, np.int32)
+        idr_ids = np.zeros(nf, np.int32)
+        have_ref = self._ref is not None
+        for f in range(nf):
+            qp_f = (qps[f] if qps is not None
+                    else (self.qp if qp is None else qp))
+            idr = ((force_idr and f == 0) or not have_ref
+                   or self._gop_pos >= self.gop)
+            frame_num = 0 if idr else self.frame_num
+            idr_flags[f] = idr
+            qp_arr[f] = qp_f
+            qpc_arr[f] = chroma_qp(qp_f, self.chroma_qp_offset)
+            frame_nums[f] = frame_num
+            idr_ids[f] = self.idr_pic_id
+            hvs[f], hls[f] = self._hdr_arrays(idr, qp_f, frame_num,
+                                              self.idr_pic_id)
+            self._advance_state(idr)
+            self.frame_idx += 1
+            have_ref = True
+
+        prev_ref = self._ref
+        if prev_ref is None:
+            prev_ref = (jnp.zeros((self.height, self.width), jnp.uint8),
+                        jnp.zeros((self.height // 2, self.width // 2),
+                                  jnp.uint8),
+                        jnp.zeros((self.height // 2, self.width // 2),
+                                  jnp.uint8))
+        any_idr = bool(idr_flags.any())
+
+        if frames is not None:
+            ys = jnp.stack([jnp.asarray(t[0]) for t in frames])
+            us = jnp.stack([jnp.asarray(t[1]) for t in frames])
+            vs = jnp.stack([jnp.asarray(t[2]) for t in frames])
+            source_fn = None
+            fidx = np.zeros(nf, np.int32)
+        else:
+            dummy = jnp.zeros((nf, 1, 1), jnp.uint8)
+            ys = us = vs = dummy
+            source_fn = source.gen_fn
+            fidx = np.asarray(indices, np.int32)
+
+        (hdrs, chunks), recons = encode_run_packed(
+            ys, us, vs, jnp.asarray(idr_flags), jnp.asarray(qp_arr),
+            jnp.asarray(qpc_arr), jnp.asarray(hvs), jnp.asarray(hls),
+            *prev_ref, capw=self._capw, totcap=self._totcap,
+            deblock=self.deblock, any_idr=any_idr,
+            source_fn=source_fn, frame_idx=jnp.asarray(fidx))
+        self._ref = tuple(r[-1] for r in recons)
+
+        npre = max(self._prev_chunks[True] if any_idr else 0,
+                   self._prev_chunks[False]) + 1
+        try:
+            hdrs.copy_to_host_async()
+            for c in chunks[:npre]:
+                c.copy_to_host_async()
+        except AttributeError:
+            pass
+
+        cache: dict = {"hdrs": None, "chunks": {}}
+
+        def get_hdrs():
+            if cache["hdrs"] is None:
+                cache["hdrs"] = np.asarray(hdrs).astype(np.int64)
+            return cache["hdrs"]
+
+        def get_chunk(c):
+            if c not in cache["chunks"]:
+                cache["chunks"][c] = np.asarray(chunks[c])
+            return cache["chunks"][c]
+
+        pend = []
+        for f in range(nf):
+            pend.append(self._make_run_pending(
+                f, bool(idr_flags[f]), int(qp_arr[f]), int(qpc_arr[f]),
+                int(frame_nums[f]), int(idr_ids[f]), get_hdrs, get_chunk,
+                len(chunks), recons, prev_ref, frames, source, fidx))
+        return pend
+
+    def _make_run_pending(self, f, idr, qp, qp_c, frame_num, idr_pic_id,
+                          get_hdrs, get_chunk, nchunks, recons, run_ref,
+                          frames, source, fidx) -> PendingFrame:
+        from ceracoder_tpu.codec.h264.device_entropy import CHUNK_WORDS
+
+        def finish() -> EncodedFrame:
+            import jax.numpy as jnp
+            row_bytes = get_hdrs()[f]
+            row_words = (row_bytes + 3) >> 2
+            used = int(row_words.sum())
+            recon_f = tuple(r[f] for r in recons)
+            if (used > self._totcap // 4
+                    or int(row_bytes.max()) > self._capw * 4
+                    or used > nchunks * CHUNK_WORDS):
+                # capacity overflow: redo this frame on the exact host
+                # entropy path, referencing the in-run reconstruction
+                if frames is not None:
+                    yj, uj, vj = (jnp.asarray(p) for p in frames[f])
+                else:
+                    yj, uj, vj = source.gen_fn(int(fidx[f]))
+                ref = run_ref if f == 0 else tuple(r[f - 1] for r in recons)
+                data, _ = self._encode_host_path(
+                    yj, uj, vj, qp, qp_c, idr, frame_num, idr_pic_id, ref)
+                return EncodedFrame(data=data, keyframe=idr, qp=qp,
+                                    _recon_dev=recon_f)
+            nch = max(1, -(-used // CHUNK_WORDS))
+            self._prev_chunks[idr] = nch
+            stream = np.concatenate(
+                [get_chunk(c)[f] for c in range(nch)]).astype(">u4").tobytes()
+            nals = []
+            off = 0
+            ref_idc, ntype = (3, NAL_IDR) if idr else (2, NAL_SLICE)
+            for row in range(self.mbh):
+                rb = int(row_bytes[row])
+                nals.append(nal_unit(ref_idc, ntype,
+                                     stream[off:off + rb],
+                                     long_start_code=(row == 0)))
+                off += int(row_words[row]) * 4
+            return EncodedFrame(data=b"".join(nals), keyframe=idr, qp=qp,
+                                _recon_dev=recon_f)
+
+        return PendingFrame(finish, idr, qp)
+
     def _advance_state(self, idr: bool) -> None:
         if idr:
             self.frame_num = 1          # IDR was frame_num 0

@@ -1,21 +1,34 @@
-"""Pallas TPU kernel for variable-length bitstream packing.
+"""Variable-length bitstream window merging.
 
 The entropy stage (device_entropy.py) reduces each row's symbol stream
 to per-chunk word-window partials: chunk c's symbols contribute ORable
-(add-as-or, bit-disjoint) values to a 128-word window starting at the
+(add-as-or, bit-disjoint) values to a WIN-word window starting at the
 chunk's first word sw[c]. What remains is the merge
 
-    words[r, sw[r,c] : sw[r,c]+128] += partials[r,c]   for every chunk
+    words[r, sw[r,c] : sw[r,c]+WIN] += partials[r,c]   for every chunk
 
 whose offsets are data-dependent — a scatter. XLA TPU scatters cost
-~67 ms/frame and gather-based range-sum workarounds ~25 ms (measured);
-this kernel does the merge with the word buffer resident in VMEM,
-placing each window via an aligned 256-lane slice and a dynamic lane
-roll (Mosaic requires lane-dim indices to be 128-aligned, so the
-window is positioned as [aligned base] + [roll by base % 128]).
+~67 ms/frame and gather-based range-sum workarounds ~25 ms (measured).
 
-Mosaic block rules require sublane dims divisible by 8, so each grid
-program handles 8 rows; callers pad the row axis.
+Two implementations:
+
+- `tree_merge` (default): a fully vectorized binary merge tree. Each
+  level pairs adjacent windows and adds the right window rolled right
+  by its start delta; a dynamic per-pair roll is expressed as
+  log2(width) CONDITIONAL STATIC rolls (select between x and
+  roll(x, 2^b) on bit b of the delta), which the VPU executes as dense
+  elementwise work with no serialization. ~1.2 ms/frame at 1080p vs
+  4.7 ms for the serial Pallas kernel (measured; the kernel's
+  per-chunk fori_loop is latency-bound at 864 tiny iterations).
+  Wrap-around cannot occur below the capacity cap: a pair's delta is
+  the left group's total span, and level width grows as 2w+2 >= span
+  of either group; rows that do overflow the cap are flagged by the
+  caller's bit-count check and take the exact host fallback.
+
+- `merge_windows`: the original Pallas kernel (kept as a reference
+  implementation and cross-check; the window buffer lives in VMEM and
+  windows are placed via aligned 256-lane slices plus a dynamic lane
+  roll).
 """
 
 from __future__ import annotations
@@ -24,11 +37,42 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 128          # partial window width (words); chunk span must fit
+WIN = 64           # partial window width (words); chunk span must fit
 ROWS_PER_PROGRAM = 8
+
+
+def tree_merge(sw, partials, capw_pad: int):
+    """words[r, sw[r,c] : +W] += partials[r,c] via a vectorized binary
+    merge tree. sw: (R, nch) int32 sorted start words (sw[:, 0] == 0);
+    partials: (R, nch, W) uint32. Returns (R, capw_pad) uint32."""
+    x = partials.astype(jnp.uint32)
+    starts = sw.astype(jnp.int32)
+    rows, nwin, w = x.shape
+    while nwin > 1:
+        if nwin % 2:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+            starts = jnp.concatenate([starts, starts[:, -1:] + w], axis=1)
+            nwin += 1
+        left, right = x[:, 0::2], x[:, 1::2]
+        sl, sr = starts[:, 0::2], starts[:, 1::2]
+        delta = sr - sl
+        neww = min(2 * w + 2, capw_pad)
+        left = jnp.pad(left, ((0, 0), (0, 0), (0, neww - w)))
+        right = jnp.pad(right, ((0, 0), (0, 0), (0, neww - w)))
+        for b in range(max(1, int(np.ceil(np.log2(neww))))):
+            bit = (delta >> b) & 1
+            rolled = jnp.roll(right, 1 << b, axis=-1)
+            right = jnp.where((bit == 1)[..., None], rolled, right)
+        x = left + right
+        starts = sl
+        w = neww
+        nwin //= 2
+    out = jnp.zeros((rows, capw_pad), jnp.uint32)
+    return out.at[:, :w].set(x[:, 0, :])
 
 
 def _dyn_roll_lanes(x, d):

@@ -218,7 +218,7 @@ def deblock_frame_rows(y, u, v, nnz44, mv_q, qp, qp_c,
     umb = u.astype(jnp.int32).reshape(mbh, 8, mbw, 8).swapaxes(1, 2)
     vmb = v.astype(jnp.int32).reshape(mbh, 8, mbw, 8).swapaxes(1, 2)
 
-    def mb_step(carry, xs):
+    def one_col(carry, xs):
         ly4, lu2, lv2 = carry
         ymb_c, umb_c, vmb_c, bsv_c, bsh_c = xs
         fy, by = jax.vmap(_deblock_mb_luma, in_axes=(0, 0, 0, 0, None,
@@ -233,12 +233,32 @@ def deblock_frame_rows(y, u, v, nnz44, mv_q, qp, qp_c,
         new_carry = (by[:, :, 12:], bu[:, :, 6:], bv[:, :, 6:])
         return new_carry, (fy, by, fu, bu, fv, bv)
 
+    # unroll several MB columns per scan step: the left-neighbor carry
+    # makes columns sequential, but a short on-device loop per step
+    # amortizes the per-iteration latency (120 -> 120/U steps at 1080p)
+    unroll = next(u for u in (8, 6, 5, 4, 3, 2, 1) if mbw % u == 0)
+
+    def mb_step(carry, xs):
+        outs = []
+        for k in range(unroll):
+            carry, out = one_col(carry,
+                                 jax.tree_util.tree_map(lambda a: a[k], xs))
+            outs.append(out)
+        stacked = jax.tree_util.tree_map(
+            lambda *ts: jnp.stack(ts), *outs)
+        return carry, stacked
+
     init = (jnp.zeros((mbh, 16, 4), jnp.int32),
             jnp.zeros((mbh, 8, 2), jnp.int32),
             jnp.zeros((mbh, 8, 2), jnp.int32))
     xs = (ymb.swapaxes(0, 1), umb.swapaxes(0, 1), vmb.swapaxes(0, 1),
           bs_v.swapaxes(0, 1), bs_h.swapaxes(0, 1))
-    _, (fy, by, fu, bu, fv, bv) = jax.lax.scan(mb_step, init, xs)
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape(mbw // unroll, unroll, *a.shape[1:]), xs)
+    _, outs = jax.lax.scan(mb_step, init, xs)
+    # (mbw//U, U, ...) -> (mbw, ...)
+    fy, by, fu, bu, fv, bv = jax.tree_util.tree_map(
+        lambda a: a.reshape(mbw, *a.shape[2:]), outs)
 
     def assemble(bodies, fixes, mbp, nfix):
         # bodies: (mbw, mbh, mb, mb); fixes[c] patches MB c-1's right cols

@@ -266,9 +266,14 @@ REFINE_RANGE = 3          # full-pel refine around the coarse winner
 
 
 def coarse_mv(cur32, ref32, rc: int = COARSE_RANGE):
-    """Coarse stage of the motion search: running argmin over all
-    (2rc+1)^2 shifts of 4x average-pooled planes. Returns (mbh, mbw, 2)
-    full-pel MVs that are multiples of 4 in [-4rc, 4rc]."""
+    """Coarse stage of the motion search: argmin over all (2rc+1)^2
+    shifts of 4x average-pooled planes. Returns (mbh, mbw, 2) full-pel
+    MVs that are multiples of 4 in [-4rc, 4rc].
+
+    All shifts are evaluated in one dense batch (static slices stacked
+    on a leading axis): a lax.scan over shifts serializes (2rc+1)^2
+    small latency-bound kernels on device, while the batched form is
+    one well-utilized elementwise+reduce."""
     h, w = cur32.shape
     mbh, mbw = h // 16, w // 16
 
@@ -276,27 +281,17 @@ def coarse_mv(cur32, ref32, rc: int = COARSE_RANGE):
         return p.reshape(p.shape[0] // 4, 4, p.shape[1] // 4, 4) \
                 .sum((1, 3)) >> 4
     cur_c = pool4(cur32)
+    hc, wc = cur_c.shape
     ref_c_pad = jnp.pad(pool4(ref32), rc, mode="edge")
     n_sh = 2 * rc + 1
 
-    def step(carry, idx):
-        best_sad, best_mv = carry
-        dy = idx // n_sh - rc
-        dx = idx % n_sh - rc
-        shifted = jax.lax.dynamic_slice(ref_c_pad, (dy + rc, dx + rc),
-                                        cur_c.shape)
-        diff = jnp.abs(cur_c - shifted)
-        sad = _mb_view(diff, 4).sum((-1, -2))
-        better = sad < best_sad
-        best_mv = jnp.where(better[..., None],
-                            jnp.stack([jnp.full_like(sad, dy),
-                                       jnp.full_like(sad, dx)], -1),
-                            best_mv)
-        return (jnp.minimum(best_sad, sad), best_mv), None
-
-    init = (jnp.full((mbh, mbw), 1 << 30, jnp.int32),
-            jnp.zeros((mbh, mbw, 2), jnp.int32))
-    (_, cmv), _ = jax.lax.scan(step, init, jnp.arange(n_sh * n_sh))
+    shifted = jnp.stack(
+        [ref_c_pad[dy:dy + hc, dx:dx + wc]
+         for dy in range(n_sh) for dx in range(n_sh)])      # (S, hc, wc)
+    diff = jnp.abs(cur_c[None] - shifted)
+    sad = diff.reshape(n_sh * n_sh, mbh, 4, mbw, 4).sum((2, 4))
+    k = jnp.argmin(sad, axis=0)                             # (mbh, mbw)
+    cmv = jnp.stack([k // n_sh - rc, k % n_sh - rc], axis=-1)
     return cmv * 4
 
 
@@ -320,29 +315,38 @@ def _me_mc_luma(y32, ref32):
     rr = REFINE_RANGE
     reach = 4 * COARSE_RANGE
     marg = reach + rr + 4                  # + 6-tap/half-pel margin
-    apron = tile_apron(ref32, 16, marg)    # (mbh, T0, mbw, T0)
+    # the warp/SAD pipeline is memory-bound; pixels, diffs, and 6-tap
+    # half-pel intermediates all fit int16, halving HBM traffic
+    apron = tile_apron(ref32.astype(jnp.int16), 16, marg)
 
     cmv = coarse_mv(y32, ref32)            # multiples of 4
 
-    # warp 1: per-MB windows at the coarse MV (81-way dense select)
+    # warp 1: per-MB windows at the coarse MV. The (dy, dx) select is
+    # SEPARABLE: select rows by the 9 dy candidates, then columns by
+    # the 9 dx candidates — 18 masked passes instead of 81, and the
+    # intermediate is read 9x less (the warp is memory-bound).
     w1 = 16 + 2 * (rr + 4)
     o1 = marg - (rr + 4)
-    warped = jnp.zeros((mbh, w1, mbw, w1), jnp.int32)
+    rows = jnp.zeros((mbh, w1, mbw, apron.shape[3]), jnp.int16)
     for dy in range(-reach, reach + 1, 4):
-        rsel = apron[:, o1 + dy:o1 + dy + w1, :, :]
-        for dx in range(-reach, reach + 1, 4):
-            cand = rsel[:, :, :, o1 + dx:o1 + dx + w1]
-            m = (cmv[..., 0] == dy) & (cmv[..., 1] == dx)
-            warped = warped + jnp.where(m[:, None, :, None], cand, 0)
+        m = cmv[..., 0] == dy
+        rows = rows + jnp.where(m[:, None, :, None],
+                                apron[:, o1 + dy:o1 + dy + w1, :, :], 0)
+    warped = jnp.zeros((mbh, w1, mbw, w1), jnp.int16)
+    for dx in range(-reach, reach + 1, 4):
+        m = cmv[..., 1] == dx
+        warped = warped + jnp.where(m[:, None, :, None],
+                                    rows[:, :, :, o1 + dx:o1 + dx + w1], 0)
 
     # full-pel refine: 49 static-slice SAD maps over the warped windows
-    cur_l = y32.reshape(mbh, 16, mbw, 16)
+    cur_l = y32.reshape(mbh, 16, mbw, 16).astype(jnp.int16)
     b1 = rr + 4
     offs = [(dy, dx) for dy in range(-rr, rr + 1)
             for dx in range(-rr, rr + 1)]
     sads = jnp.stack([
         jnp.abs(cur_l - warped[:, b1 + dy:b1 + dy + 16,
-                               :, b1 + dx:b1 + dx + 16]).sum((1, 3))
+                               :, b1 + dx:b1 + dx + 16])
+        .sum((1, 3), dtype=jnp.int32)
         for dy, dx in offs])               # (49, mbh, mbw)
     k = jnp.argmin(sads, axis=0)
     sad = jnp.min(sads, axis=0)
@@ -352,27 +356,40 @@ def _me_mc_luma(y32, ref32):
            [:, :, :, None] * offs_a[:, None, None, :]).sum(0)
     mv_full = cmv + off
 
-    # warp 2: re-center windows at the refined MV (49-way select)
+    # warp 2: re-center windows at the refined MV. offs is row-major
+    # over (dy, dx), so k splits into independent row/col candidate
+    # indices and the select is separable (7+7 passes, not 49).
     w2 = 16 + 2 * 4
-    warped2 = jnp.zeros((mbh, w2, mbw, w2), jnp.int32)
-    for i, (dy, dx) in enumerate(offs):
-        cand = warped[:, b1 + dy - 4:b1 + dy - 4 + w2,
-                      :, b1 + dx - 4:b1 + dx - 4 + w2]
-        warped2 = warped2 + jnp.where((k == i)[:, None, :, None], cand, 0)
+    nsh = 2 * rr + 1
+    ky, kx = k // nsh, k % nsh
+    rows2 = jnp.zeros((mbh, w2, mbw, warped.shape[3]), jnp.int16)
+    for i, dy in enumerate(range(-rr, rr + 1)):
+        rows2 = rows2 + jnp.where(
+            (ky == i)[:, None, :, None],
+            warped[:, b1 + dy - 4:b1 + dy - 4 + w2, :, :], 0)
+    warped2 = jnp.zeros((mbh, w2, mbw, w2), jnp.int16)
+    for i, dx in enumerate(range(-rr, rr + 1)):
+        warped2 = warped2 + jnp.where(
+            (kx == i)[:, None, :, None],
+            rows2[:, :, :, b1 + dx - 4:b1 + dx - 4 + w2], 0)
 
     # half-pel planes of the warped windows (spec 8.4.2.2.1 filters and
     # rounding; shift-invariance makes window-local interpolation equal
     # to sampling the global planes)
-    w2t = warped2.transpose(0, 2, 1, 3)    # (mbh, mbw, 24, 24)
+    w2t = warped2.transpose(0, 2, 1, 3)    # (mbh, mbw, 24, 24) int16
     bxu = _tap6_last(w2t)                  # b at (y, x=k+2), unrounded
-    b_w = jnp.clip((bxu + 16) >> 5, 0, 255)
+    b_w = jnp.clip((bxu + 16) >> 5, 0, 255).astype(jnp.int16)
     hyu = _tap6_last(w2t.swapaxes(-1, -2)).swapaxes(-1, -2)
-    h_w = jnp.clip((hyu + 16) >> 5, 0, 255)
-    jxy = _tap6_last(bxu.swapaxes(-1, -2)).swapaxes(-1, -2)
-    j_w = jnp.clip((jxy + 512) >> 10, 0, 255)
+    h_w = jnp.clip((hyu + 16) >> 5, 0, 255).astype(jnp.int16)
+    # the second 6-tap pass over unrounded intermediates (|bxu| up to
+    # ~13K) exceeds int16 range — widen for the j plane only
+    jxy = _tap6_last(bxu.astype(jnp.int32)
+                     .swapaxes(-1, -2)).swapaxes(-1, -2)
+    j_w = jnp.clip((jxy + 512) >> 10, 0, 255).astype(jnp.int16)
 
     base = 4
-    cur_mb = y32.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+    cur_mb = (y32.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
+              .astype(jnp.int16))
     half_cands = [(0, 0), (0, 2), (0, -2), (2, 0), (-2, 0),
                   (2, 2), (2, -2), (-2, 2), (-2, -2)]
 
@@ -413,24 +430,32 @@ def _mc_chroma_dense(ref_c32, cmv, mv_q):
     marg_c = reach_c + 3
     apron = tile_apron(ref_c32, 8, marg_c)
 
+    # separable (dy, dx) selects — see _me_mc_luma warp 1
     wc1 = 8 + 2 * 3
     o1 = marg_c - 3
-    warped = jnp.zeros((mbh, wc1, mbw, wc1), jnp.int32)
+    rows = jnp.zeros((mbh, wc1, mbw, apron.shape[3]), jnp.int32)
     for dy in range(-reach_c, reach_c + 1, 2):
-        rsel = apron[:, o1 + dy:o1 + dy + wc1, :, :]
-        for dx in range(-reach_c, reach_c + 1, 2):
-            cand = rsel[:, :, :, o1 + dx:o1 + dx + wc1]
-            m = (cmv[..., 0] == 2 * dy) & (cmv[..., 1] == 2 * dx)
-            warped = warped + jnp.where(m[:, None, :, None], cand, 0)
+        m = cmv[..., 0] == 2 * dy
+        rows = rows + jnp.where(m[:, None, :, None],
+                                apron[:, o1 + dy:o1 + dy + wc1, :, :], 0)
+    warped = jnp.zeros((mbh, wc1, mbw, wc1), jnp.int32)
+    for dx in range(-reach_c, reach_c + 1, 2):
+        m = cmv[..., 1] == 2 * dx
+        warped = warped + jnp.where(m[:, None, :, None],
+                                    rows[:, :, :, o1 + dx:o1 + dx + wc1], 0)
 
     extra = (mv_q >> 3) - (cmv >> 1)       # in [-2, 2]
     wc2 = 9
-    warped2 = jnp.zeros((mbh, wc2, mbw, wc2), jnp.int32)
+    rows2 = jnp.zeros((mbh, wc2, mbw, wc1), jnp.int32)
     for ey in range(-2, 3):
-        for ex in range(-2, 3):
-            cand = warped[:, 3 + ey:3 + ey + wc2, :, 3 + ex:3 + ex + wc2]
-            m = (extra[..., 0] == ey) & (extra[..., 1] == ex)
-            warped2 = warped2 + jnp.where(m[:, None, :, None], cand, 0)
+        m = extra[..., 0] == ey
+        rows2 = rows2 + jnp.where(m[:, None, :, None],
+                                  warped[:, 3 + ey:3 + ey + wc2, :, :], 0)
+    warped2 = jnp.zeros((mbh, wc2, mbw, wc2), jnp.int32)
+    for ex in range(-2, 3):
+        m = extra[..., 1] == ex
+        warped2 = warped2 + jnp.where(m[:, None, :, None],
+                                      rows2[:, :, :, 3 + ex:3 + ex + wc2], 0)
 
     wt = warped2.transpose(0, 2, 1, 3)     # (mbh, mbw, 9, 9)
     a = wt[..., :8, :8]

@@ -20,6 +20,15 @@ def setup_jax(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    if os.environ.get("CERACODER_JAX_CACHE_DISABLE") == "1":
+        # Tests run with the cache off: XLA:CPU executable
+        # deserialization has segfaulted reading valid-looking entries
+        # (observed under pytest; crash in backend.deserialize_executable
+        # via compilation_cache.get_executable_and_time), and CPU
+        # compiles are cheap enough to redo. The cache stays on for the
+        # TPU backend, where a cold compile takes minutes.
+        return
+
     cache = cache_dir or os.environ.get(
         "CERACODER_JAX_CACHE", os.path.expanduser("~/.cache/ceracoder_jax"))
     try:

@@ -19,7 +19,24 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache under test: XLA:CPU executable
+# deserialization has segfaulted the test process on cache reads (see
+# utils/jaxenv.py); app code that calls setup_jax() honors this flag.
+os.environ["CERACODER_JAX_CACHE_DISABLE"] = "1"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", None)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module. A process
+    that accumulates the whole suite's XLA:CPU executables eventually
+    segfaults/aborts inside backend_compile_and_load (jaxlib 0.9.0);
+    per-module cache clearing keeps live-executable count bounded.
+    Costs recompiles across modules, which share little anyway."""
+    yield
+    jax.clear_caches()

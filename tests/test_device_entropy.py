@@ -142,3 +142,56 @@ def test_async_pipeline_matches_sync():
     b = enc2.headers() + b"".join(
         enc2.encode_frame(*f).data for f in frames)
     assert a == b
+
+
+def test_run_dispatch_matches_per_frame():
+    """encode_run_async (whole GOP segment in one lax.scan dispatch)
+    must produce the identical stream to per-frame encoding, including
+    across the run boundary (reference carried in/out) and with
+    per-frame QP changes mid-run."""
+    w, h = 96, 64
+    frames = _test_frames(w, h, 6)
+    qps = [28, 28, 30, 30, 27, 27]
+
+    enc = H264Encoder(w, h, qp=28, gop=4)
+    pend = enc.encode_run_async(frames[:3], qps=qps[:3])
+    pend += enc.encode_run_async(frames[3:], qps=qps[3:])
+    a = enc.headers() + b"".join(p.result().data for p in pend)
+
+    enc2 = H264Encoder(w, h, qp=28, gop=4)
+    b = enc2.headers() + b"".join(
+        enc2.encode_frame(*f, qp=q).data for f, q in zip(frames, qps))
+    assert a == b
+
+
+def test_run_dispatch_overflow_falls_back():
+    """Rows that overflow the packed capacity inside a run must be
+    redone exactly on the host path, referencing the in-run recon."""
+    w, h = 96, 64
+    frames = _test_frames(w, h, 4)
+    enc = H264Encoder(w, h, qp=26, gop=2, row_capacity_bytes=16)
+    pend = enc.encode_run_async(frames)
+    a = enc.headers() + b"".join(p.result().data for p in pend)
+    ref_enc = H264Encoder(w, h, qp=26, gop=2, device_entropy=False)
+    b = ref_enc.headers() + b"".join(
+        ref_enc.encode_frame(*f).data for f in frames)
+    assert a == b
+
+
+def test_run_dispatch_device_source():
+    """source=+indices variant: frames generated on device inside the
+    dispatch must equal encoding the same generated planes by hand."""
+    from ceracoder_tpu.app.source import DeviceTestPatternSource
+
+    w, h = 96, 64
+    src = DeviceTestPatternSource(w, h, texture=4)
+    enc = H264Encoder(w, h, qp=29, gop=8)
+    pend = enc.encode_run_async(source=src, indices=range(4))
+    a = enc.headers() + b"".join(p.result().data for p in pend)
+
+    enc2 = H264Encoder(w, h, qp=29, gop=8)
+    b = enc2.headers()
+    for i in range(4):
+        y, u, v = (np.asarray(p) for p in src.frame(i))
+        b += enc2.encode_frame(y, u, v).data
+    assert a == b
