@@ -26,6 +26,15 @@ PRED_MODE = [[CNU], [149], [134]]
 PREV_INTRA_LUMA_PRED = [[184], [154], [183]]
 INTRA_CHROMA_PRED = [[63, 139], [152, 139], [152, 139]]
 
+# -- inter prediction (spec Tables 9-13..9-18) ------------------------------
+MERGE_FLAG = [[CNU], [110], [154]]
+MERGE_IDX = [[CNU], [122], [137]]
+MVP_FLAG = [[CNU], [168], [168]]
+# abs_mvd_greater0_flag (ctx 0) / abs_mvd_greater1_flag (ctx 1)
+MVD_GREATER = [[CNU, CNU], [140, 198], [169, 198]]
+# inter_pred_idc: ctx 0..3 by coding-tree depth (bin 0), ctx 4 (bin 1)
+INTER_PRED_IDC = [[CNU] * 5, [95, 79, 63, 31, 31], [95, 79, 63, 31, 31]]
+
 # -- transform tree ---------------------------------------------------------
 SPLIT_TRANSFORM = [[153, 138, 138], [124, 138, 94], [224, 167, 122]]
 CBF_LUMA = [[111, 141], [153, 111], [153, 111]]
@@ -80,28 +89,46 @@ SIG_CTX_MAP_4x4 = np.array([0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7,
                             8, 8], np.int32)
 
 
+_LAYOUT = [
+    ("part_mode", PART_MODE),
+    ("prev_intra", PREV_INTRA_LUMA_PRED),
+    ("chroma_pred", INTRA_CHROMA_PRED),
+    ("cbf_luma", CBF_LUMA),
+    ("cbf_chroma", CBF_CHROMA),
+    ("last_x", LAST_SIG_PREFIX),
+    ("last_y", LAST_SIG_PREFIX),
+    ("csbf", CODED_SUB_BLOCK),
+    ("sig", SIG_COEFF),
+    ("gr1", GREATER1),
+    ("gr2", GREATER2),
+    ("split_cu", SPLIT_CU_FLAG),
+    # inter elements (CNU-initialized in I slices, unused there)
+    ("skip", SKIP_FLAG),
+    ("pred_mode", PRED_MODE),
+    ("merge_flag", MERGE_FLAG),
+    ("merge_idx", MERGE_IDX),
+    ("mvp_flag", MVP_FLAG),
+    ("mvd_gr", MVD_GREATER),
+    ("rqt_root_cbf", QT_ROOT_CBF),
+    ("inter_pred_idc", INTER_PRED_IDC),
+]
+
+
+def build_slice_contexts(qp: int, init_type: int):
+    """Packed context states for a slice at the given QP and initType
+    (spec 9.3.2.2: 0 = I, 1 = P, 2 = B), plus the offset of each
+    element in the context array."""
+    from ceracoder_tpu.codec.h265.cabac import init_context
+
+    states = []
+    offsets = {}
+    for name, table in _LAYOUT:
+        offsets[name] = len(states)
+        states.extend(init_context(v, qp) for v in table[init_type])
+    return np.array(states, np.uint8), offsets
+
+
 def build_i_slice_contexts(qp: int):
     """Packed context states for an I slice at the given QP, plus the
     offset of each element in the context array."""
-    from ceracoder_tpu.codec.h265.cabac import init_context
-
-    layout = [
-        ("part_mode", PART_MODE),
-        ("prev_intra", PREV_INTRA_LUMA_PRED),
-        ("chroma_pred", INTRA_CHROMA_PRED),
-        ("cbf_luma", CBF_LUMA),
-        ("cbf_chroma", CBF_CHROMA),
-        ("last_x", LAST_SIG_PREFIX),
-        ("last_y", LAST_SIG_PREFIX),
-        ("csbf", CODED_SUB_BLOCK),
-        ("sig", SIG_COEFF),
-        ("gr1", GREATER1),
-        ("gr2", GREATER2),
-        ("split_cu", SPLIT_CU_FLAG),
-    ]
-    states = []
-    offsets = {}
-    for name, table in layout:
-        offsets[name] = len(states)
-        states.extend(init_context(v, qp) for v in table[0])
-    return np.array(states, np.uint8), offsets
+    return build_slice_contexts(qp, 0)

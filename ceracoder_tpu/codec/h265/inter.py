@@ -1,0 +1,268 @@
+"""HEVC inter prediction: motion search, motion compensation, and the
+normative predictor/merge candidate derivations (host reference
+implementation; the device/JAX formulation follows the H.264 ops
+pattern once oracle-proven).
+
+Scope (first lossy P stage): full-pel luma MVs over 16x16 CUs (one
+PU, PART_2Nx2N), single reference (the previous picture). Chroma MVs
+inherit the luma MV, which lands on 0/half-sample chroma positions —
+interpolated with the normative 4-tap DCT-IF (spec 8.5.4.2.2.2,
+taps tables.CHROMA_FILTER). AMVP (spec 8.5.3.2.6-7) and merge
+(8.5.3.2.3) candidate lists are derived exactly as a decoder will;
+with a single same-POC reference the scaling clauses collapse to
+identity, which is asserted by the bit-exact oracle tests.
+
+Replaces the ME/MC inside the reference's external HEVC encoder
+elements (reference: pipeline/ *h265* pipelines; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ceracoder_tpu.codec.h265.tables import CHROMA_FILTER
+
+SEARCH_RANGE = 8          # full-pel search range around (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Motion search
+# ---------------------------------------------------------------------------
+
+def motion_search(cur_y: np.ndarray, ref_y: np.ndarray,
+                  rng: int = SEARCH_RANGE) -> np.ndarray:
+    """Full-pel exhaustive SAD search per 16x16 CU.
+
+    cur_y/ref_y: (H, W) CTB-aligned int arrays. Returns (nch, ncw, 2)
+    int32 MVs in full-pel units (dy, dx), |mv| <= rng. Vectorized over
+    all CUs: one SAD map per candidate displacement.
+    """
+    h, w = cur_y.shape
+    nch, ncw = h // 16, w // 16
+    ref_pad = np.pad(ref_y, rng, mode="edge").astype(np.int32)
+    cur = cur_y.astype(np.int32)
+
+    best_sad = np.full((nch, ncw), 1 << 30, np.int64)
+    best_mv = np.zeros((nch, ncw, 2), np.int32)
+    # center-outward order so ties prefer the shorter MV
+    offs = sorted(((dy, dx) for dy in range(-rng, rng + 1)
+                   for dx in range(-rng, rng + 1)),
+                  key=lambda o: (abs(o[0]) + abs(o[1]), abs(o[0])))
+    for dy, dx in offs:
+        shifted = ref_pad[rng + dy:rng + dy + h, rng + dx:rng + dx + w]
+        sad = (np.abs(cur - shifted)
+               .reshape(nch, 16, ncw, 16).sum((1, 3), dtype=np.int64))
+        better = sad < best_sad
+        best_sad = np.where(better, sad, best_sad)
+        best_mv[better] = (dy, dx)
+    return best_mv
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation
+# ---------------------------------------------------------------------------
+
+def mc_luma_block(ref_y: np.ndarray, x0: int, y0: int, n: int,
+                  mv_q: tuple[int, int]) -> np.ndarray:
+    """Luma MC for an n x n block at (x0, y0), MV in quarter-pel units
+    with zero fractional part (full-pel). Reference sample coordinates
+    are clipped to the picture (spec 8.5.4.2.2.1 xInt/yInt Clip3)."""
+    h, w = ref_y.shape
+    dy, dx = mv_q[0] >> 2, mv_q[1] >> 2
+    ys = np.clip(np.arange(y0 + dy, y0 + dy + n), 0, h - 1)
+    xs = np.clip(np.arange(x0 + dx, x0 + dx + n), 0, w - 1)
+    return ref_y[np.ix_(ys, xs)].astype(np.int32)
+
+
+def mc_chroma_block(ref_c: np.ndarray, cx0: int, cy0: int, n: int,
+                    mv_q: tuple[int, int]) -> np.ndarray:
+    """Chroma MC for an n x n block at (cx0, cy0) of a chroma plane.
+
+    mv_q is the luma quarter-pel MV; in 4:2:0 the same value is an
+    eighth-sample chroma vector (spec 8.5.3.2.9), so full-pel luma MVs
+    give chroma fractions 0 or 4 (half-sample). Half-sample positions
+    use the normative 4-tap filter with the 8-bit shift ladder
+    (intermediate >> 0, final +(1<<11) >> 12; single-direction
+    +32 >> 6) — spec 8.5.4.2.2.2.
+    """
+    h, w = ref_c.shape
+    dyi, dxi = mv_q[0] >> 3, mv_q[1] >> 3
+    fy, fx = mv_q[0] & 7, mv_q[1] & 7
+    assert fy in (0, 4) and fx in (0, 4), "full-pel luma MVs only"
+    taps_y = CHROMA_FILTER[fy].astype(np.int32)
+    taps_x = CHROMA_FILTER[fx].astype(np.int32)
+
+    # gather an (n+3) x (n+3) patch with clipped coordinates:
+    # rows/cols -1..n+1 relative to the displaced block origin
+    ys = np.clip(np.arange(cy0 + dyi - 1, cy0 + dyi + n + 2), 0, h - 1)
+    xs = np.clip(np.arange(cx0 + dxi - 1, cx0 + dxi + n + 2), 0, w - 1)
+    patch = ref_c[np.ix_(ys, xs)].astype(np.int32)
+
+    if fx == 0 and fy == 0:
+        return patch[1:1 + n, 1:1 + n]
+    if fy == 0:                      # horizontal only
+        acc = sum(int(taps_x[k]) * patch[1:1 + n, k:k + n]
+                  for k in range(4))
+        return np.clip((acc + 32) >> 6, 0, 255)
+    if fx == 0:                      # vertical only
+        acc = sum(int(taps_y[k]) * patch[k:k + n, 1:1 + n]
+                  for k in range(4))
+        return np.clip((acc + 32) >> 6, 0, 255)
+    # h then v: 14-bit intermediate (shift1 = 0 at 8-bit)
+    tmp = sum(int(taps_x[k]) * patch[:, k:k + n] for k in range(4))
+    acc = sum(int(taps_y[k]) * tmp[k:k + n, :] for k in range(4))
+    return np.clip((acc + (1 << 11)) >> 12, 0, 255)
+
+
+def mc_luma_block14(ref_y: np.ndarray, x0: int, y0: int, n: int,
+                    mv_q: tuple[int, int]) -> np.ndarray:
+    """Luma MC at 14-bit intermediate precision (predSampleLX before
+    the final shift, spec 8.5.4.2.2.1) for bi-prediction combining.
+    Full-pel MVs: sample << 6."""
+    return mc_luma_block(ref_y, x0, y0, n, mv_q) << 6
+
+
+def mc_chroma_block14(ref_c: np.ndarray, cx0: int, cy0: int, n: int,
+                      mv_q: tuple[int, int]) -> np.ndarray:
+    """Chroma MC at 14-bit intermediate precision (spec 8.5.4.2.2.2):
+    full-sample << 6; single-direction half-sample = raw 4-tap sum;
+    both-direction = second-stage sum >> 6."""
+    h, w = ref_c.shape
+    dyi, dxi = mv_q[0] >> 3, mv_q[1] >> 3
+    fy, fx = mv_q[0] & 7, mv_q[1] & 7
+    assert fy in (0, 4) and fx in (0, 4), "full-pel luma MVs only"
+    taps_y = CHROMA_FILTER[fy].astype(np.int64)
+    taps_x = CHROMA_FILTER[fx].astype(np.int64)
+
+    ys = np.clip(np.arange(cy0 + dyi - 1, cy0 + dyi + n + 2), 0, h - 1)
+    xs = np.clip(np.arange(cx0 + dxi - 1, cx0 + dxi + n + 2), 0, w - 1)
+    patch = ref_c[np.ix_(ys, xs)].astype(np.int64)
+
+    if fx == 0 and fy == 0:
+        return (patch[1:1 + n, 1:1 + n] << 6).astype(np.int32)
+    if fy == 0:
+        acc = sum(int(taps_x[k]) * patch[1:1 + n, k:k + n]
+                  for k in range(4))
+        return acc.astype(np.int32)
+    if fx == 0:
+        acc = sum(int(taps_y[k]) * patch[k:k + n, 1:1 + n]
+                  for k in range(4))
+        return acc.astype(np.int32)
+    tmp = sum(int(taps_x[k]) * patch[:, k:k + n] for k in range(4))
+    acc = sum(int(taps_y[k]) * tmp[k:k + n, :] for k in range(4))
+    return (acc >> 6).astype(np.int32)
+
+
+def bi_combine(p0_14: np.ndarray, p1_14: np.ndarray) -> np.ndarray:
+    """Default bi-prediction sample combine (spec 8.5.4.2.3.2, 8-bit:
+    shift 7, offset 64) over 14-bit intermediates."""
+    return np.clip((p0_14.astype(np.int64) + p1_14 + 64) >> 7, 0, 255) \
+        .astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Normative candidate derivations (CTB == CU == one 2Nx2N PU)
+# ---------------------------------------------------------------------------
+
+class MotionField:
+    """Per-CU motion state of the current picture, filled in raster CU
+    order; the source for neighbor-based derivations."""
+
+    def __init__(self, nch: int, ncw: int):
+        self.nch, self.ncw = nch, ncw
+        self.inter = np.zeros((nch, ncw), bool)
+        self.skip = np.zeros((nch, ncw), bool)
+        self.mv = np.zeros((nch, ncw, 2), np.int32)   # (dy, dx) qpel
+
+    def _get(self, cy: int, cx: int):
+        """MV of CU (cy, cx) if available and inter, else None."""
+        if cy < 0 or cx < 0 or cy >= self.nch or cx >= self.ncw:
+            return None
+        if not self.inter[cy, cx]:
+            return None
+        return (int(self.mv[cy, cx, 0]), int(self.mv[cy, cx, 1]))
+
+    def amvp_list(self, cy: int, cx: int) -> list[tuple[int, int]]:
+        """Two AMVP candidates (spec 8.5.3.2.6-7). A0 (below-left) is
+        never decoded under raster CU order. All references share one
+        POC, so the scaled passes reduce to the unscaled ones; when no
+        A candidate exists the B candidate is promoted to A and the
+        duplicate pruned, exactly as the spec's isScaledFlag clause
+        resolves in the single-reference case."""
+        a = self._get(cy, cx - 1)                     # A1
+        b = None
+        for ny, nx in ((cy - 1, cx + 1), (cy - 1, cx), (cy - 1, cx - 1)):
+            b = self._get(ny, nx)                     # B0, B1, B2
+            if b is not None:
+                break
+        if a is None:
+            a = b
+        cands: list[tuple[int, int]] = []
+        if a is not None:
+            cands.append(a)
+        if b is not None and (not cands or b != cands[0]):
+            cands.append(b)
+        while len(cands) < 2:
+            cands.append((0, 0))
+        return cands[:2]
+
+    def merge_list(self, cy: int, cx: int,
+                   max_cand: int = 2) -> list[tuple[int, int]]:
+        """Merge candidates (spec 8.5.3.2.3): spatial A1, B1, B0, (A0
+        unavailable), B2, with the normative pairwise pruning, then
+        zero-MV fill. No temporal candidate (sps_temporal_mvp off)."""
+        a1 = self._get(cy, cx - 1)
+        b1 = self._get(cy - 1, cx)
+        b0 = self._get(cy - 1, cx + 1)
+        b2 = self._get(cy - 1, cx - 1)
+        cands: list[tuple[int, int]] = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and b1 != a1:
+            cands.append(b1)
+        if len(cands) < max_cand and b0 is not None and b0 != b1:
+            cands.append(b0)
+        # A0 skipped (raster order); B2 only while fewer than 4 spatial
+        if len(cands) < max_cand and b2 is not None \
+                and b2 != a1 and b2 != b1:
+            cands.append(b2)
+        while len(cands) < max_cand:
+            cands.append((0, 0))
+        return cands[:max_cand]
+
+
+# ---------------------------------------------------------------------------
+# MVD syntax (spec 7.3.8.9, binarization 9.3.3)
+# ---------------------------------------------------------------------------
+
+def encode_mvd(enc, ctx, off, mvd_x: int, mvd_y: int) -> None:
+    """mvd_coding: greater0/greater1 context bins, EG1 remainder and
+    sign as bypass. Component order in the stream is x then y — note
+    the framework's (dy, dx) convention is flipped at this boundary."""
+    comps = (mvd_x, mvd_y)
+    gr0 = [1 if c != 0 else 0 for c in comps]
+    gr1 = [1 if abs(c) > 1 else 0 for c in comps]
+    enc.encode_bin(ctx, off["mvd_gr"] + 0, gr0[0])
+    enc.encode_bin(ctx, off["mvd_gr"] + 0, gr0[1])
+    if gr0[0]:
+        enc.encode_bin(ctx, off["mvd_gr"] + 1, gr1[0])
+    if gr0[1]:
+        enc.encode_bin(ctx, off["mvd_gr"] + 1, gr1[1])
+    for c, g0, g1 in zip(comps, gr0, gr1):
+        if not g0:
+            continue
+        if g1:
+            _encode_eg1(enc, abs(c) - 2)
+        enc.encode_bypass(1 if c < 0 else 0)
+
+
+def _encode_eg1(enc, value: int) -> None:
+    """1st-order Exp-Golomb, bypass bins (spec 9.3.3.3)."""
+    k = 1
+    while value >= (1 << k):
+        enc.encode_bypass(1)
+        value -= 1 << k
+        k += 1
+    enc.encode_bypass(0)
+    for b in range(k - 1, -1, -1):
+        enc.encode_bypass((value >> b) & 1)

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from ceracoder_tpu.codec.bitwriter import BitWriter, emulation_prevent
 
 # NAL unit types (spec Table 7-1)
+NAL_TRAIL_N = 0
 NAL_TRAIL_R = 1
 NAL_IDR_W_RADL = 19
 NAL_VPS = 32
@@ -63,6 +64,10 @@ class HevcParams:
     log2_max_pcm: int = 4
     fps_num: int = 0
     fps_den: int = 1
+    # B-frame support: decoder reorder depth and DPB size (0 / 1 for
+    # low-delay I/P streams; 1 / 2 with one B between references)
+    max_reorder: int = 0
+    max_dpb_minus1: int = 1
 
     @property
     def ctb(self) -> int:
@@ -87,8 +92,8 @@ def write_vps(p: HevcParams) -> bytes:
     w.u(0xFFFF, 16)  # vps_reserved_0xffff_16bits
     profile_tier_level(w)
     w.flag(1)       # vps_sub_layer_ordering_info_present_flag
-    w.ue(1)         # vps_max_dec_pic_buffering_minus1[0]
-    w.ue(0)         # vps_max_num_reorder_pics[0]
+    w.ue(p.max_dpb_minus1)  # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(p.max_reorder)     # vps_max_num_reorder_pics[0]
     w.ue(0)         # vps_max_latency_increase_plus1[0]
     w.u(0, 6)       # vps_max_layer_id
     w.ue(0)         # vps_num_layer_sets_minus1
@@ -123,8 +128,8 @@ def write_sps(p: HevcParams) -> bytes:
     w.ue(0)         # bit_depth_chroma_minus8
     w.ue(4)         # log2_max_pic_order_cnt_lsb_minus4 (POC 8 bits)
     w.flag(1)       # sps_sub_layer_ordering_info_present_flag
-    w.ue(1)         # sps_max_dec_pic_buffering_minus1[0]
-    w.ue(0)         # sps_max_num_reorder_pics[0]
+    w.ue(p.max_dpb_minus1)  # sps_max_dec_pic_buffering_minus1[0]
+    w.ue(p.max_reorder)     # sps_max_num_reorder_pics[0]
     w.ue(0)         # sps_max_latency_increase_plus1[0]
     w.ue(p.log2_min_cb - 3)                 # log2_min_luma_cb_size_minus3
     w.ue(p.log2_ctb - p.log2_min_cb)        # log2_diff_max_min_cb
@@ -189,17 +194,40 @@ def write_pps(p: HevcParams) -> bytes:
 
 
 def slice_header_bits(p: HevcParams, idr: bool = True,
-                      qp: int | None = None) -> BitWriter:
-    """I-slice segment header (spec 7.3.6.1); caller appends
-    byte_alignment then CABAC slice data."""
+                      qp: int | None = None, poc: int = 0,
+                      ref_poc_delta: int = 1,
+                      slice_type: str | None = None,
+                      fwd_poc_delta: int = 1) -> BitWriter:
+    """Slice segment header (spec 7.3.6.1) for an IDR I-slice, a
+    TRAIL_R P-slice referencing ``ref_poc_delta`` back, or a TRAIL_N
+    B-slice additionally referencing ``fwd_poc_delta`` ahead; caller
+    appends byte_alignment then CABAC slice data."""
     qp = p.qp if qp is None else qp
+    st = slice_type or ("I" if idr else "P")
     w = BitWriter()
     w.flag(1)       # first_slice_segment_in_pic_flag
     if idr:
         w.flag(0)   # no_output_of_prior_pics_flag
     w.ue(0)         # slice_pic_parameter_set_id
-    w.ue(2)         # slice_type: I
-    # (no POC/ref fields for IDR; no SAO; no deblocking override)
+    w.ue({"B": 0, "P": 1, "I": 2}[st])   # slice_type
+    if not idr:
+        # log2_max_pic_order_cnt_lsb_minus4 = 4 in the SPS -> 8 bits
+        w.u(poc & 0xFF, 8)  # slice_pic_order_cnt_lsb
+        w.flag(0)           # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): one past reference (+ one future for B)
+        w.ue(1)             # num_negative_pics
+        w.ue(1 if st == "B" else 0)   # num_positive_pics
+        w.ue(ref_poc_delta - 1)   # delta_poc_s0_minus1[0]
+        w.flag(1)           # used_by_curr_pic_s0_flag[0]
+        if st == "B":
+            w.ue(fwd_poc_delta - 1)   # delta_poc_s1_minus1[0]
+            w.flag(1)       # used_by_curr_pic_s1_flag[0]
+        # (no temporal MVP flag: sps_temporal_mvp_enabled_flag = 0)
+        w.flag(0)           # num_ref_idx_active_override_flag
+        if st == "B":
+            w.flag(0)       # mvd_l1_zero_flag
+        w.ue(3)             # five_minus_max_num_merge_cand -> 2 cands
+    # (no SAO; no deblocking override)
     w.se(qp - 26)   # slice_qp_delta
     # byte_alignment()
     w.u(1, 1)
@@ -207,3 +235,6 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
     if pad:
         w.u(0, pad)
     return w
+
+
+MAX_MERGE_CAND = 2        # five_minus_max_num_merge_cand = 3 above

@@ -223,6 +223,171 @@ class TestIntraConformance:
         self._check(y, u, v, 27, tmp_path, "edges")
 
 
+class TestInterConformance:
+    """P-frame coding: decoder reconstruction must equal the encoder's
+    bit for bit across motion (incl. chroma half-pel interpolation),
+    skip/merge/AMVP decisions, intra fallback, QP changes, GOP
+    boundaries, and non-CTB-aligned dimensions."""
+
+    def _run(self, w, h, frames, tmp_path, tag, qps=None, gop=50):
+        from ceracoder_tpu.codec.h265.encoder import H265GopEncoder
+        enc = H265GopEncoder(w, h, qp=30, gop=gop)
+        out = enc.headers()
+        recons, kinds = [], []
+        for i, f in enumerate(frames):
+            data, idr = enc.encode_frame(*f, qp=qps[i] if qps else None)
+            out += data
+            recons.append(enc.recon)
+            kinds.append("I" if idr else "P")
+        path = tmp_path / f"{tag}.265"
+        path.write_bytes(out)
+        decoded = decode(path, w, h, len(frames))
+        for i, ((dy, du, dv), (ry, ru, rv)) in enumerate(
+                zip(decoded, recons)):
+            assert np.array_equal(dy, ry), f"{tag} frame {i}: luma"
+            assert np.array_equal(du, ru), f"{tag} frame {i}: cb"
+            assert np.array_equal(dv, rv), f"{tag} frame {i}: cr"
+        return kinds
+
+    @staticmethod
+    def _panning(n, w=96, h=64, step=(3, 5)):
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, (3 * h, 3 * w)).astype(np.uint8)
+        frames = []
+        for i in range(n):
+            dy, dx = step[0] * i - n, step[1] * i - n
+            y = base[h + dy:2 * h + dy, w + dx:2 * w + dx].copy()
+            u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+            v = (y[1::2, 1::2] // 3 + 80).astype(np.uint8)
+            frames.append((y, u, v))
+        return frames
+
+    def test_panning_motion(self, tmp_path):
+        """Odd per-frame shifts exercise full-pel luma MC plus the
+        4-tap chroma half-sample interpolation (spec 8.5.4.2.2.2)."""
+        kinds = self._run(96, 64, self._panning(5), tmp_path, "pan")
+        assert kinds == ["I", "P", "P", "P", "P"]
+
+    def test_static_content_skips(self, tmp_path):
+        """Identical frames after the IDR: P frames should collapse to
+        skip CUs (tiny) and still decode bit-exact."""
+        from ceracoder_tpu.codec.h265.encoder import H265GopEncoder
+        y, u, v = synth(96, 64)
+        enc = H265GopEncoder(96, 64, qp=30, gop=50)
+        out = enc.headers()
+        sizes, recons = [], []
+        for _ in range(4):
+            data, _ = enc.encode_frame(y, u, v)
+            sizes.append(len(data))
+            recons.append(enc.recon)
+            out += data
+        # later P frames: recon has converged, everything skips
+        assert sizes[3] < 40
+        f = tmp_path / "static.265"
+        f.write_bytes(out)
+        dec = decode(f, 96, 64, 4)
+        for (dy, du, dv), (ry, ru, rv) in zip(dec, recons):
+            assert np.array_equal(dy, ry)
+            assert np.array_equal(du, ru)
+            assert np.array_equal(dv, rv)
+
+    def test_scene_change_intra_fallback(self, tmp_path):
+        rng = np.random.default_rng(5)
+        frames = self._panning(2)
+        y2 = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        cut = (y2, (y2[::2, ::2] // 2 + 30).astype(np.uint8),
+               (y2[1::2, 1::2] // 2 + 90).astype(np.uint8))
+        self._run(96, 64, frames + [cut, cut], tmp_path, "cut")
+
+    def test_qp_change_and_gop(self, tmp_path):
+        frames = self._panning(6)
+        kinds = self._run(96, 64, frames, tmp_path, "qpgop",
+                          qps=[30, 30, 38, 24, 30, 30], gop=3)
+        assert kinds == ["I", "P", "P", "I", "P", "P"]
+
+    def test_non_aligned_dims(self, tmp_path):
+        def fr(i, w=100, h=52):
+            yy, xx = np.mgrid[0:h, 0:w]
+            y = ((xx * 2 + yy * 3 + i * 11) % 256).astype(np.uint8)
+            return (y, ((yy[::2, ::2] + i) % 256).astype(np.uint8),
+                    ((xx[::2, ::2] * 2) % 256).astype(np.uint8))
+        self._run(100, 52, [fr(i) for i in range(4)], tmp_path, "odd")
+
+    def test_p_beats_intra_on_motion(self, tmp_path):
+        """Compression sanity: P frames of panning content must be
+        substantially smaller than coding every frame intra."""
+        from ceracoder_tpu.codec.h265.encoder import (
+            H265GopEncoder, H265IntraEncoder)
+        frames = self._panning(4)
+        gop = H265GopEncoder(96, 64, qp=30, gop=50)
+        p_bytes = sum(len(gop.encode_frame(*f)[0]) for f in frames[1:])
+        intra = H265IntraEncoder(96, 64, qp=30)
+        i_bytes = sum(len(intra.encode_frame(*f)) for f in frames[1:])
+        assert p_bytes < i_bytes * 0.8
+
+
+class TestBFrames:
+    """B-frame coding (IBPBP, one B between references): TRAIL_N
+    bi-predicted B slices with dual explicit MVD, decoder reordering
+    (max_reorder 1, DPB 3), and the 14-bit bi-prediction combine —
+    all verified bit-exact through the oracle in display order."""
+
+    def _roundtrip(self, frames, w, h, tmp_path, tag, gop=20):
+        from ceracoder_tpu.codec.h265.encoder import H265GopEncoder
+        enc = H265GopEncoder(w, h, qp=30, gop=gop, bframes=1)
+        outs = []
+        stream = enc.headers()
+        for f in frames:
+            outs += enc.push_frame(*f)
+        outs += enc.flush()
+        for data, _, _, _ in outs:
+            stream += data
+        path = tmp_path / f"{tag}.265"
+        path.write_bytes(stream)
+        decoded = decode(path, w, h, len(frames))
+        # display order: POC within the GOP, GOPs in coding order
+        disp = []
+        base = 0
+        for o in outs:
+            if o[2] == "I" and disp:
+                base = max(d for d, _ in disp) + 1
+            disp.append((base + o[1], o))
+        by_poc = [o for _, o in sorted(disp, key=lambda t: t[0])]
+        for i, ((dy, du, dv), (_, _, kind, (ry, ru, rv))) in enumerate(
+                zip(decoded, by_poc)):
+            assert np.array_equal(dy, ry), f"{tag} poc {i} ({kind}) luma"
+            assert np.array_equal(du, ru), f"{tag} poc {i} cb"
+            assert np.array_equal(dv, rv), f"{tag} poc {i} cr"
+        return [o[2] for o in outs]
+
+    def test_ibpbp_structure_and_conformance(self, tmp_path):
+        frames = TestInterConformance._panning(7)
+        kinds = self._roundtrip(frames, 96, 64, tmp_path, "ibpbp")
+        assert kinds == ["I", "P", "B", "P", "B", "P", "B"]
+
+    def test_flush_trailing_b_as_p(self, tmp_path):
+        frames = TestInterConformance._panning(4)   # ends on a B slot
+        kinds = self._roundtrip(frames, 96, 64, tmp_path, "flush")
+        assert kinds == ["I", "P", "B", "P"]
+
+    def test_gop_boundary_flushes(self, tmp_path):
+        frames = TestInterConformance._panning(8)
+        kinds = self._roundtrip(frames, 96, 64, tmp_path, "bgop",
+                                gop=4)
+        assert kinds.count("I") == 2
+
+    def test_b_smaller_than_p(self, tmp_path):
+        from ceracoder_tpu.codec.h265.encoder import H265GopEncoder
+        frames = TestInterConformance._panning(7)
+        enc = H265GopEncoder(96, 64, qp=30, gop=20, bframes=1)
+        outs = []
+        for f in frames:
+            outs += enc.push_frame(*f)
+        b = [len(d) for d, _, k, _ in outs if k == "B"]
+        p = [len(d) for d, _, k, _ in outs if k == "P"]
+        assert sum(b) / len(b) < 0.8 * sum(p) / len(p)
+
+
 def test_app_hevc_ts_end_to_end(tmp_path):
     """Full app run with codec=hevc: HEVC-in-TS (stream_type 0x24)
     decodable by the oracle."""
