@@ -1,0 +1,503 @@
+"""HEVC row-slice schedule: one slice per CTB row.
+
+This is the TPU-native coding structure (mirrors the H.264 device
+path, codec/h264/encoder.py): with every CTB row its own slice, intra
+prediction, CABAC contexts, and motion candidate derivations never
+cross rows, so rows compute independently on device and the per-row
+entropy coding parallelizes on host. Costs a slice header + context
+reset per row (~0.5-3% bitrate at 1080p) and above-row prediction.
+
+The module is the *executable spec* for both halves of the production
+path, deliberately factored the same way:
+
+  compute_intra_rows / compute_p_rows   numpy reference of the device
+                                        op (ops/h265.py must produce
+                                        identical arrays)
+  entropy_rows                          Python reference of the native
+                                        C++ entropy stage
+                                        (native/src/hevc_entropy.cc
+                                        must produce identical bytes)
+
+H265RowEncoder chains the two and is validated end-to-end by the
+libavcodec oracle (tests/test_h265_rows.py).
+
+Replaces the encode loop of the reference's external HEVC encoder
+elements (reference: pipeline/ *h265* pipelines; SURVEY.md §2.2, §7.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ceracoder_tpu.codec.h265 import intra as I
+from ceracoder_tpu.codec.h265.cabac import CabacEncoder
+from ceracoder_tpu.codec.h265.ctx_tables import build_slice_contexts
+from ceracoder_tpu.codec.h265.encoder import _mpm_list, _pad
+from ceracoder_tpu.codec.h265.inter import (
+    encode_mvd,
+    mc_chroma_block,
+    mc_luma_block,
+    motion_search,
+)
+from ceracoder_tpu.codec.h265.residual import encode_residual
+from ceracoder_tpu.codec.h265.syntax import (
+    NAL_IDR_W_RADL,
+    NAL_TRAIL_R,
+    HevcParams,
+    nal_unit,
+    slice_header_bits,
+    write_pps,
+    write_sps,
+    write_vps,
+)
+
+CTB = 16
+
+# inter-vs-intra competition bias, matching the raster encoder
+# (codec/h265/encoder.py): intra must beat 3/4 of the inter SAD
+INTRA_BIAS_NUM, INTRA_BIAS_DEN = 3, 4
+
+
+def _ref_samples_row(rec_y: np.ndarray, x0: int, y0: int, n: int):
+    """Intra reference samples under the row-slice schedule: the above
+    CTB row is another slice, so only the left column is available
+    (spec 8.4.4.2.2 substitution with have_top = False)."""
+    if x0 == 0:
+        full = np.full(2 * n, 128, np.int32)
+        return full, full.copy(), 128
+    left = np.zeros(2 * n, np.int32)
+    left[:n] = rec_y[y0:y0 + n, x0 - 1]
+    left[n:] = left[n - 1]            # below-left: pad from last avail
+    corner = int(left[0])
+    top = np.full(2 * n, corner, np.int32)
+    return left, top, corner
+
+
+def compute_intra_rows(y, u, v, qp: int, qp_c: int):
+    """Numpy reference of the device intra op. Planes must be
+    CTB-aligned. Returns (arrays, recon) where arrays is the flat
+    per-CTB representation consumed by the entropy stage:
+
+      mode     (nch, ncw) int32   chosen luma mode (chroma = DM)
+      luma_lv  (nch, ncw, 16, 16) int32 quantized levels, raster
+      cb_lv    (nch, ncw, 8, 8)   int32
+      cr_lv    (nch, ncw, 8, 8)   int32
+    """
+    y = np.asarray(y).astype(np.int32)
+    u = np.asarray(u).astype(np.int32)
+    v = np.asarray(v).astype(np.int32)
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    rec_y = np.zeros_like(y)
+    rec_u = np.zeros_like(u)
+    rec_v = np.zeros_like(v)
+    mode = np.zeros((nch, ncw), np.int32)
+    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
+    cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+    cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+
+    for cy in range(nch):
+        for cx in range(ncw):
+            x0, y0 = cx * CTB, cy * CTB
+            lref = _ref_samples_row(rec_y, x0, y0, CTB)
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            best, best_pred, best_sad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, CTB, 0)
+                sad = int(np.abs(src - pr).sum())
+                if sad < best_sad:
+                    best, best_pred, best_sad = m, pr, sad
+            mode[cy, cx] = best
+            _, luma_lv[cy, cx] = _code_tu_pred(
+                src, rec_y, best_pred, x0, y0, qp)
+
+            nc = CTB // 2
+            cx0, cy0 = x0 // 2, y0 // 2
+            for plane, recp, out in ((u, rec_u, cb_lv), (v, rec_v, cr_lv)):
+                cref = _ref_samples_row(recp, cx0, cy0, nc)
+                pr = I.predict(best, *cref, nc, 1)
+                src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
+                _, out[cy, cx] = _code_tu_pred(
+                    src_c, recp, pr, cx0, cy0, qp_c)
+
+    arrays = {"is_intra": np.ones((nch, ncw), bool), "mode": mode,
+              "mv": np.zeros((nch, ncw, 2), np.int32),
+              "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
+    return arrays, (rec_y, rec_u, rec_v)
+
+
+def _code_tu_pred(src, recp, pred, x0, y0, qp):
+    coef = I.quantize(I.fwd_transform(src - pred), qp)
+    if coef.any():
+        rec = np.clip(pred + I.inv_transform(I.dequantize(coef, qp)),
+                      0, 255)
+        cbf = 1
+    else:
+        rec = np.clip(pred, 0, 255)
+        cbf = 0
+    n = src.shape[0]
+    recp[y0:y0 + n, x0:x0 + n] = rec
+    return cbf, coef.astype(np.int32)
+
+
+def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
+    """Numpy reference of the device P op. ref = (y, u, v) padded
+    recon of the previous picture. Adds to the intra arrays:
+
+      is_intra (nch, ncw) bool    per-CTB intra fallback
+      mv       (nch, ncw, 2) int32 (dy, dx) quarter-pel (full-pel *4)
+    """
+    y = np.asarray(y).astype(np.int32)
+    u = np.asarray(u).astype(np.int32)
+    v = np.asarray(v).astype(np.int32)
+    ref_y, ref_u, ref_v = ref
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    rec_y = np.zeros_like(y)
+    rec_u = np.zeros_like(u)
+    rec_v = np.zeros_like(v)
+    is_intra = np.zeros((nch, ncw), bool)
+    mode = np.zeros((nch, ncw), np.int32)
+    mv = np.zeros((nch, ncw, 2), np.int32)
+    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
+    cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+    cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+
+    mvs = motion_search(y, ref_y)
+
+    for cy in range(nch):
+        for cx in range(ncw):
+            x0, y0 = cx * CTB, cy * CTB
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            mv_q = (int(mvs[cy, cx, 0]) * 4, int(mvs[cy, cx, 1]) * 4)
+            pred_y = mc_luma_block(ref_y, x0, y0, CTB, mv_q)
+            inter_sad = int(np.abs(src - pred_y).sum())
+            lref = _ref_samples_row(rec_y, x0, y0, CTB)
+            ibest, ipred, isad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, CTB, 0)
+                sad = int(np.abs(src - pr).sum())
+                if sad < isad:
+                    ibest, ipred, isad = m, pr, sad
+            nc = CTB // 2
+            cx0, cy0 = x0 // 2, y0 // 2
+            if isad * INTRA_BIAS_DEN < inter_sad * INTRA_BIAS_NUM:
+                is_intra[cy, cx] = True
+                mode[cy, cx] = ibest
+                _, luma_lv[cy, cx] = _code_tu_pred(
+                    src, rec_y, ipred, x0, y0, qp)
+                for plane, recp, out in ((u, rec_u, cb_lv),
+                                         (v, rec_v, cr_lv)):
+                    cref = _ref_samples_row(recp, cx0, cy0, nc)
+                    pr = I.predict(ibest, *cref, nc, 1)
+                    src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
+                    _, out[cy, cx] = _code_tu_pred(
+                        src_c, recp, pr, cx0, cy0, qp_c)
+            else:
+                mv[cy, cx] = mv_q
+                _, luma_lv[cy, cx] = _code_tu_pred(
+                    src, rec_y, pred_y, x0, y0, qp)
+                pred_u = mc_chroma_block(ref_u, cx0, cy0, nc, mv_q)
+                pred_v = mc_chroma_block(ref_v, cx0, cy0, nc, mv_q)
+                src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
+                src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
+                _, cb_lv[cy, cx] = _code_tu_pred(
+                    src_u, rec_u, pred_u, cx0, cy0, qp_c)
+                _, cr_lv[cy, cx] = _code_tu_pred(
+                    src_v, rec_v, pred_v, cx0, cy0, qp_c)
+
+    arrays = {"is_intra": is_intra, "mode": mode, "mv": mv,
+              "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
+    return arrays, (rec_y, rec_u, rec_v)
+
+
+# ---------------------------------------------------------------------------
+# Entropy stage (Python reference of native/src/hevc_entropy.cc)
+# ---------------------------------------------------------------------------
+
+def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
+                 poc: int = 0, ref_poc_delta: int = 1) -> list[bytes]:
+    """Encode every CTB row as an independent slice segment; returns
+    per-row RBSP bytes (caller wraps in NAL units). All syntax-level
+    decisions (MPM, cbf, skip/merge/AMVP) are derived here from the
+    flat arrays, exactly as the C++ stage derives them."""
+    is_intra = arrays["is_intra"]
+    mode = arrays["mode"]
+    mv = arrays["mv"]
+    luma_lv = arrays["luma_lv"]
+    cb_lv = arrays["cb_lv"]
+    cr_lv = arrays["cr_lv"]
+    nch, ncw = is_intra.shape
+    init_type = 0 if idr else 1
+    out = []
+    for cy in range(nch):
+        hdr = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
+                                ref_poc_delta=ref_poc_delta,
+                                ctb_addr=cy * ncw)
+        enc = CabacEncoder()
+        hv, hl = hdr.arrays()
+        for val, n in zip(hv.tolist(), hl.tolist()):
+            enc.write_raw(int(val), int(n))
+        ctx, off = build_slice_contexts(qp, init_type=init_type)
+
+        left_mode = I.DC          # MPM A candidate (DC if unavailable)
+        left_is_intra = False
+        left_is_inter = False
+        left_mv = (0, 0)
+        left_skip = False
+        for cx in range(ncw):
+            intra_cu = bool(is_intra[cy, cx])
+            cbf_l = 1 if luma_lv[cy, cx].any() else 0
+            cbf_b = 1 if cb_lv[cy, cx].any() else 0
+            cbf_r = 1 if cr_lv[cy, cx].any() else 0
+            any_cbf = cbf_l or cbf_b or cbf_r
+
+            if not idr:
+                # merge candidates: A1 = left CU if inter (same
+                # slice); all B candidates are above the row ->
+                # unavailable; zero-MV fill to MaxNumMergeCand = 2
+                merge = []
+                if left_is_inter:
+                    merge.append(left_mv)
+                while len(merge) < 2:
+                    merge.append((0, 0))
+
+            if intra_cu:
+                if not idr:
+                    skip_ctx = off["skip"] + (1 if left_skip else 0)
+                    enc.encode_bin(ctx, skip_ctx, 0)
+                    enc.encode_bin(ctx, off["pred_mode"], 1)
+                m = int(mode[cy, cx])
+                enc.encode_bin(ctx, off["part_mode"], 1)   # 2Nx2N
+                cand_a = left_mode if left_is_intra else I.DC
+                mpm = _mpm_list(cand_a, I.DC)
+                if m in mpm:
+                    enc.encode_bin(ctx, off["prev_intra"], 1)
+                    idx = mpm.index(m)
+                    enc.encode_bypass(0 if idx == 0 else 1)
+                    if idx:
+                        enc.encode_bypass(idx - 1)
+                else:
+                    enc.encode_bin(ctx, off["prev_intra"], 0)
+                    rem = m - sum(1 for x in sorted(mpm) if x < m)
+                    enc.encode_bypass_bits(rem, 5)
+                enc.encode_bin(ctx, off["chroma_pred"], 0)  # DM
+                enc.encode_bin(ctx, off["cbf_chroma"], cbf_b)
+                enc.encode_bin(ctx, off["cbf_chroma"], cbf_r)
+                enc.encode_bin(ctx, off["cbf_luma"] + 1, cbf_l)
+                if cbf_l:
+                    encode_residual(enc, ctx, off, luma_lv[cy, cx], 0)
+                if cbf_b:
+                    encode_residual(enc, ctx, off, cb_lv[cy, cx], 1)
+                if cbf_r:
+                    encode_residual(enc, ctx, off, cr_lv[cy, cx], 2)
+                left_mode, left_is_intra = m, True
+                left_is_inter = False
+                left_skip = False
+            else:
+                mv_q = (int(mv[cy, cx, 0]), int(mv[cy, cx, 1]))
+                try:
+                    merge_idx = merge.index(mv_q)
+                except ValueError:
+                    merge_idx = -1
+                skip_ctx = off["skip"] + (1 if left_skip else 0)
+                if merge_idx >= 0 and not any_cbf:
+                    enc.encode_bin(ctx, skip_ctx, 1)
+                    enc.encode_bin(ctx, off["merge_idx"], merge_idx)
+                    left_skip = True
+                else:
+                    enc.encode_bin(ctx, skip_ctx, 0)
+                    enc.encode_bin(ctx, off["pred_mode"], 0)
+                    enc.encode_bin(ctx, off["part_mode"], 1)
+                    if merge_idx >= 0:
+                        enc.encode_bin(ctx, off["merge_flag"], 1)
+                        enc.encode_bin(ctx, off["merge_idx"], merge_idx)
+                    else:
+                        enc.encode_bin(ctx, off["merge_flag"], 0)
+                        # AMVP: A = left inter CU's MV else zero;
+                        # B candidates unavailable (above the row)
+                        amvp = ([left_mv] if left_is_inter else [(0, 0)])
+                        amvp.append((0, 0))
+                        costs = [abs(mv_q[0] - c[0]) + abs(mv_q[1] - c[1])
+                                 for c in amvp]
+                        mvp_idx = 0 if costs[0] <= costs[1] else 1
+                        mvp = amvp[mvp_idx]
+                        encode_mvd(enc, ctx, off,
+                                   mv_q[1] - mvp[1], mv_q[0] - mvp[0])
+                        enc.encode_bin(ctx, off["mvp_flag"], mvp_idx)
+                        enc.encode_bin(ctx, off["rqt_root_cbf"],
+                                       1 if any_cbf else 0)
+                    if any_cbf:
+                        enc.encode_bin(ctx, off["cbf_chroma"], cbf_b)
+                        enc.encode_bin(ctx, off["cbf_chroma"], cbf_r)
+                        if cbf_b or cbf_r:
+                            enc.encode_bin(ctx, off["cbf_luma"] + 1,
+                                           cbf_l)
+                        if cbf_l:
+                            encode_residual(enc, ctx, off,
+                                            luma_lv[cy, cx], 0)
+                        if cbf_b:
+                            encode_residual(enc, ctx, off,
+                                            cb_lv[cy, cx], 1)
+                        if cbf_r:
+                            encode_residual(enc, ctx, off,
+                                            cr_lv[cy, cx], 2)
+                    left_skip = False
+                left_is_intra = False
+                left_is_inter = True
+                left_mv = mv_q
+            enc.encode_terminate(1 if cx == ncw - 1 else 0)
+        enc.finish()
+        enc.align_one()
+        out.append(enc.to_bytes())
+    return out
+
+
+# fixed element order of the offsets array passed to the native stage
+# (must match the CtxOff enum in native/src/hevc_entropy.cc, which in
+# turn matches ctx_tables._LAYOUT)
+_NATIVE_OFF_ORDER = (
+    "part_mode", "prev_intra", "chroma_pred", "cbf_luma", "cbf_chroma",
+    "last_x", "last_y", "csbf", "sig", "gr1", "gr2", "split_cu", "skip",
+    "pred_mode", "merge_flag", "merge_idx", "mvp_flag", "mvd_gr",
+    "rqt_root_cbf", "inter_pred_idc")
+
+
+def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
+                        poc: int = 0, ref_poc_delta: int = 1,
+                        n_threads: int = 0) -> list[bytes] | None:
+    """Native (C++) entropy stage; byte-identical to entropy_rows.
+    Returns None when the native library is unavailable."""
+    import ctypes
+    import os
+
+    from ceracoder_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "hevc_entropy_rows"):
+        return None
+
+    is_intra = np.ascontiguousarray(arrays["is_intra"], np.uint8)
+    mode = np.ascontiguousarray(arrays["mode"], np.int32)
+    mv = np.ascontiguousarray(arrays["mv"], np.int32)
+    luma_lv = np.ascontiguousarray(arrays["luma_lv"], np.int16)
+    cb_lv = np.ascontiguousarray(arrays["cb_lv"], np.int16)
+    cr_lv = np.ascontiguousarray(arrays["cr_lv"], np.int16)
+    nch, ncw = is_intra.shape
+
+    # per-row packed slice headers
+    hdrs = []
+    for cy in range(nch):
+        hw = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
+                               ref_poc_delta=ref_poc_delta,
+                               ctb_addr=cy * ncw)
+        hdrs.append((hw.to_bytes(), hw.bit_length))
+    stride = max(len(b) for b, _ in hdrs)
+    hdr_bytes = np.zeros((nch, stride), np.uint8)
+    hdr_bits = np.zeros(nch, np.int32)
+    for cy, (b, nb) in enumerate(hdrs):
+        hdr_bytes[cy, :len(b)] = np.frombuffer(b, np.uint8)
+        hdr_bits[cy] = nb
+
+    ctx, off = build_slice_contexts(qp, init_type=0 if idr else 1)
+    offs = np.array([off[k] for k in _NATIVE_OFF_ORDER], np.int32)
+
+    cap = max(1 << 16, nch * ncw * 768 + nch * (stride + 16))
+    out = np.zeros(cap, np.uint8)
+    row_sizes = np.zeros(nch, np.int32)
+    nt = n_threads or min(nch, os.cpu_count() or 1)
+    total = lib.hevc_entropy_rows(
+        nch, ncw, int(idr),
+        hdr_bytes.ctypes.data_as(ctypes.c_void_p),
+        hdr_bits.ctypes.data_as(ctypes.c_void_p), stride,
+        ctx.ctypes.data_as(ctypes.c_void_p), len(ctx),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        is_intra.ctypes.data_as(ctypes.c_void_p),
+        mode.ctypes.data_as(ctypes.c_void_p),
+        mv.ctypes.data_as(ctypes.c_void_p),
+        luma_lv.ctypes.data_as(ctypes.c_void_p),
+        cb_lv.ctypes.data_as(ctypes.c_void_p),
+        cr_lv.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        row_sizes.ctypes.data_as(ctypes.c_void_p), nt)
+    if total < 0:
+        raise RuntimeError("hevc_entropy_rows: output capacity exceeded")
+    res = []
+    pos = 0
+    for cy in range(nch):
+        sz = int(row_sizes[cy])
+        res.append(out[pos:pos + sz].tobytes())
+        pos += sz
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Frame-level orchestration
+# ---------------------------------------------------------------------------
+
+class H265RowEncoder:
+    """Row-slice HEVC encoder: IDR + low-delay P GOPs, numpy compute +
+    Python entropy. The slow-but-exact reference for the device
+    encoder; also its overflow/no-native fallback."""
+
+    def __init__(self, width: int, height: int, qp: int = 32,
+                 gop: int = 60, native_entropy: bool = True):
+        from ceracoder_tpu.codec.h265.intra import chroma_qp
+
+        self.width, self.height = width, height
+        self.qp, self.qp_c = qp, chroma_qp(qp)
+        self.gop = max(1, gop)
+        self.native_entropy = native_entropy
+        self.params = HevcParams(width=width, height=height, qp=qp,
+                                 pcm_enabled=False)
+        self.pw = -(-width // CTB) * CTB
+        self.ph = -(-height // CTB) * CTB
+        self._ref = None
+        self._poc = 0
+        self.recon = None
+
+    def headers(self) -> bytes:
+        p = self.params
+        return write_vps(p) + write_sps(p) + write_pps(p)
+
+    def encode_frame(self, y, u, v, qp: int | None = None,
+                     force_idr: bool = False):
+        from ceracoder_tpu.codec.h265.intra import chroma_qp
+
+        if qp is not None:
+            self.qp, self.qp_c = qp, chroma_qp(qp)
+        y = _pad(np.asarray(y), self.ph, self.pw)
+        u = _pad(np.asarray(u), self.ph // 2, self.pw // 2)
+        v = _pad(np.asarray(v), self.ph // 2, self.pw // 2)
+
+        idr = force_idr or self._ref is None or self._poc >= self.gop
+        if idr:
+            arrays, rec = compute_intra_rows(y, u, v, self.qp, self.qp_c)
+            rbsps = self._entropy(arrays, idr=True, poc=0)
+            ntype = NAL_IDR_W_RADL
+            self._poc = 1
+        else:
+            arrays, rec = compute_p_rows(y, u, v, self._ref,
+                                         self.qp, self.qp_c)
+            rbsps = self._entropy(arrays, idr=False, poc=self._poc)
+            ntype = NAL_TRAIL_R
+            self._poc += 1
+        self._ref = rec
+        self.recon = (rec[0][:self.height, :self.width].astype(np.uint8),
+                      rec[1][:self.height // 2, :self.width // 2]
+                      .astype(np.uint8),
+                      rec[2][:self.height // 2, :self.width // 2]
+                      .astype(np.uint8))
+        data = b"".join(
+            nal_unit(ntype, r, long_start_code=(i == 0))
+            for i, r in enumerate(rbsps))
+        return data, idr
+
+    def _entropy(self, arrays: dict, idr: bool, poc: int) -> list[bytes]:
+        if self.native_entropy:
+            rbsps = entropy_rows_native(self.params, arrays, self.qp,
+                                        idr=idr, poc=poc)
+            if rbsps is not None:
+                return rbsps
+        return entropy_rows(self.params, arrays, self.qp, idr=idr,
+                            poc=poc)

@@ -197,18 +197,25 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
                       qp: int | None = None, poc: int = 0,
                       ref_poc_delta: int = 1,
                       slice_type: str | None = None,
-                      fwd_poc_delta: int = 1) -> BitWriter:
+                      fwd_poc_delta: int = 1,
+                      ctb_addr: int = 0) -> BitWriter:
     """Slice segment header (spec 7.3.6.1) for an IDR I-slice, a
     TRAIL_R P-slice referencing ``ref_poc_delta`` back, or a TRAIL_N
     B-slice additionally referencing ``fwd_poc_delta`` ahead; caller
-    appends byte_alignment then CABAC slice data."""
+    appends byte_alignment then CABAC slice data. ``ctb_addr`` is the
+    slice_segment_address for multi-slice pictures (row-slice
+    schedule): 0 = first slice in the picture."""
     qp = p.qp if qp is None else qp
     st = slice_type or ("I" if idr else "P")
     w = BitWriter()
-    w.flag(1)       # first_slice_segment_in_pic_flag
+    w.flag(1 if ctb_addr == 0 else 0)  # first_slice_segment_in_pic_flag
     if idr:
         w.flag(0)   # no_output_of_prior_pics_flag
     w.ue(0)         # slice_pic_parameter_set_id
+    if ctb_addr != 0:
+        # slice_segment_address: u(v), v = Ceil(Log2(PicSizeInCtbsY))
+        n_ctbs = p.pic_width_ctbs * p.pic_height_ctbs
+        w.u(ctb_addr, max(1, (n_ctbs - 1).bit_length()))
     w.ue({"B": 0, "P": 1, "I": 2}[st])   # slice_type
     if not idr:
         # log2_max_pic_order_cnt_lsb_minus4 = 4 in the SPS -> 8 bits

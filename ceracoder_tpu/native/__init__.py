@@ -32,9 +32,19 @@ def load() -> ctypes.CDLL | None:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True)
+        srcs = list((_NATIVE_DIR / "src").glob("*.cc")) + \
+            list((_NATIVE_DIR / "src").glob("*.inc")) + \
+            [_NATIVE_DIR / "Makefile"]
+        stale = (not _LIB_PATH.exists()
+                 or any(s.stat().st_mtime > _LIB_PATH.stat().st_mtime
+                        for s in srcs))
+        if stale:
+            # serialize concurrent builders (xdist test workers)
+            import fcntl
+            with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                subprocess.run(["make", "-C", str(_NATIVE_DIR)],
+                               check=True, capture_output=True)
         lib = ctypes.CDLL(str(_LIB_PATH))
     except (OSError, subprocess.CalledProcessError):
         _load_failed = True
@@ -157,6 +167,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.cc_srt_get_snddata.restype = ctypes.c_int
     lib.cc_srt_get_snddata.argtypes = [ctypes.c_void_p]
     lib.cc_srt_close.argtypes = [ctypes.c_void_p]
+
+    lib.hevc_entropy_rows.restype = ctypes.c_int64
+    lib.hevc_entropy_rows.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,      # nch, ncw, idr
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # hdr b/bits/stride
+        ctypes.c_void_p, ctypes.c_int,                 # ctx_init, n_ctx
+        ctypes.c_void_p,                               # offsets
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # intra/mode/mv
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # levels y/cb/cr
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # out/cap/sizes
+        ctypes.c_int,                                  # n_threads
+    ]
 
 
 def _to_cconfig(config) -> CConfig:

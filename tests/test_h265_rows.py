@@ -1,0 +1,207 @@
+"""Row-slice HEVC path: oracle conformance of the numpy reference and
+byte equality of the native (C++) entropy stage with the Python spec.
+
+The row-slice schedule (one slice per CTB row) is the TPU coding
+structure: the device op (ops/h265.py) must reproduce
+compute_*_rows' arrays, and native/src/hevc_entropy.cc must reproduce
+entropy_rows' bytes — both pinned here (SURVEY.md §4 takeaway (a):
+pure cores driven by synthetic inputs; §7.1 step 4).
+"""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ceracoder_tpu.codec.h265.rowslice import (
+    H265RowEncoder,
+    compute_intra_rows,
+    compute_p_rows,
+    entropy_rows,
+    entropy_rows_native,
+)
+from ceracoder_tpu.codec.h265.syntax import HevcParams
+
+TOOLS = Path(__file__).resolve().parents[1] / "tools"
+
+
+def oracle():
+    exe = TOOLS / "decode_oracle"
+    if not exe.exists():
+        subprocess.run(["make", "-C", str(TOOLS)], check=True,
+                       capture_output=True)
+    return exe
+
+
+def decode(path, w, h, nframes):
+    out = str(path) + ".yuv"
+    r = subprocess.run([str(oracle()), str(path), out],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert f"frames={nframes}" in r.stderr
+    raw = np.fromfile(out, np.uint8)
+    fsz = w * h * 3 // 2
+    assert raw.size == nframes * fsz
+    frames = []
+    for i in range(nframes):
+        a = raw[i * fsz:(i + 1) * fsz]
+        frames.append((a[:w * h].reshape(h, w),
+                       a[w * h:w * h + w * h // 4].reshape(h // 2, w // 2),
+                       a[w * h + w * h // 4:].reshape(h // 2, w // 2)))
+    return frames
+
+
+def _panning(n, w=96, h=64, step=(3, 5), seed=11):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (3 * h, 3 * w)).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        dy, dx = step[0] * i - n, step[1] * i - n
+        y = base[h + dy:2 * h + dy, w + dx:2 * w + dx].copy()
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (y[1::2, 1::2] // 3 + 80).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+class TestRowSliceConformance:
+    def _run(self, frames, w, h, tmp_path, tag, qps=None, gop=50):
+        enc = H265RowEncoder(w, h, qp=30, gop=gop)
+        out = enc.headers()
+        recons, kinds = [], []
+        for i, f in enumerate(frames):
+            data, idr = enc.encode_frame(
+                *f, qp=qps[i] if qps else None)
+            out += data
+            recons.append(enc.recon)
+            kinds.append("I" if idr else "P")
+        path = tmp_path / f"{tag}.265"
+        path.write_bytes(out)
+        decoded = decode(path, w, h, len(frames))
+        for i, (d, r) in enumerate(zip(decoded, recons)):
+            for name, dp, rp in zip("yuv", d, r):
+                assert np.array_equal(dp, rp), f"{tag} f{i} {name}"
+        return kinds
+
+    def test_intra_noise(self, tmp_path):
+        rng = np.random.default_rng(5)
+        y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        u = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        v = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        self._run([(y, u, v)], 96, 64, tmp_path, "noise")
+
+    def test_panning_gop(self, tmp_path):
+        kinds = self._run(_panning(5), 96, 64, tmp_path, "pan")
+        assert kinds == ["I", "P", "P", "P", "P"]
+
+    def test_static_skips(self, tmp_path):
+        y, u, v = _panning(1)[0]
+        frames = [(y, u, v)] * 3
+        enc = H265RowEncoder(96, 64, qp=30, gop=50)
+        sizes = []
+        out = enc.headers()
+        for f in frames:
+            data, _ = enc.encode_frame(*f)
+            sizes.append(len(data))
+            out += data
+        # all-skip P rows are a few bytes each
+        assert sizes[1] < sizes[0] // 10
+        path = tmp_path / "static.265"
+        path.write_bytes(out)
+        decode(path, 96, 64, 3)
+
+    def test_scene_change_intra_fallback(self, tmp_path):
+        rng = np.random.default_rng(9)
+        f0 = _panning(1)[0]
+        y1 = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        f1 = (y1, (y1[::2, ::2] // 2).astype(np.uint8),
+              (y1[1::2, 1::2] // 2 + 99).astype(np.uint8))
+        self._run([f0, f1], 96, 64, tmp_path, "scene")
+
+    def test_qp_changes(self, tmp_path):
+        self._run(_panning(4), 96, 64, tmp_path, "qp",
+                  qps=[30, 34, 26, 30])
+
+    def test_gop_boundary(self, tmp_path):
+        kinds = self._run(_panning(5), 96, 64, tmp_path, "gop", gop=2)
+        assert kinds == ["I", "P", "I", "P", "I"]
+
+    def test_odd_dimensions(self, tmp_path):
+        frames = _panning(3, w=88, h=56)
+        self._run(frames, 88, 56, tmp_path, "odd")
+
+
+class TestNativeEntropy:
+    """native/src/hevc_entropy.cc must be byte-identical to the
+    Python entropy_rows spec."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from ceracoder_tpu import native
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+
+    def _check(self, arrays, qp, idr, poc=0, w=96, h=64):
+        p = HevcParams(width=w, height=h, qp=qp, pcm_enabled=False)
+        a = entropy_rows(p, arrays, qp, idr=idr, poc=poc)
+        b = entropy_rows_native(p, arrays, qp, idr=idr, poc=poc)
+        assert b is not None
+        assert len(a) == len(b)
+        for i, (x, z) in enumerate(zip(a, b)):
+            assert x == z, f"row {i} differs"
+
+    def test_intra_bytes(self):
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        u = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        v = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        for qp in (20, 30, 40):
+            arrays, _ = compute_intra_rows(y, u, v, qp, qp - 1)
+            self._check(arrays, qp, idr=True)
+
+    def test_p_bytes_motion_skip_intra(self):
+        frames = _panning(3)
+        enc_qp = 30
+        arrays0, rec = compute_intra_rows(*frames[0], enc_qp, 29)
+        # motion + residual
+        arr1, rec1 = compute_p_rows(*frames[1], rec, enc_qp, 29)
+        self._check(arr1, enc_qp, idr=False, poc=1)
+        # static -> skips
+        arr2, _ = compute_p_rows(*frames[1], rec1, enc_qp, 29)
+        assert not arr2["is_intra"].any()
+        self._check(arr2, enc_qp, idr=False, poc=2)
+        # scene change to smooth content -> intra fallback CUs (intra
+        # predicts a horizontal gradient well; inter from the detailed
+        # previous scene cannot)
+        y = np.tile(np.linspace(0, 255, 96).astype(np.uint8), (64, 1))
+        u = np.full((32, 48), 100, np.uint8)
+        v = np.full((32, 48), 160, np.uint8)
+        arr3, _ = compute_p_rows(y, u, v, rec1, enc_qp, 29)
+        assert arr3["is_intra"].any()
+        self._check(arr3, enc_qp, idr=False, poc=3)
+
+    def test_synthetic_levels_stress(self):
+        """Random sparse level patterns stress every residual-coding
+        branch (rice escapes, csbf inference, gr1 context sets)."""
+        rng = np.random.default_rng(23)
+        nch, ncw = 2, 6
+        for trial in range(4):
+            mag = [3, 40, 400, 30000][trial]
+            luma = rng.integers(-mag, mag + 1, (nch, ncw, 16, 16))
+            luma *= rng.random((nch, ncw, 16, 16)) < 0.15
+            cb = rng.integers(-mag, mag + 1, (nch, ncw, 8, 8))
+            cb *= rng.random((nch, ncw, 8, 8)) < 0.2
+            cr = rng.integers(-mag, mag + 1, (nch, ncw, 8, 8))
+            cr *= rng.random((nch, ncw, 8, 8)) < 0.1
+            arrays = {
+                "is_intra": rng.random((nch, ncw)) < 0.5,
+                "mode": rng.choice([0, 1, 10, 26], (nch, ncw))
+                .astype(np.int32),
+                "mv": (rng.integers(-8, 9, (nch, ncw, 2)) * 4)
+                .astype(np.int32),
+                "luma_lv": luma.astype(np.int32),
+                "cb_lv": cb.astype(np.int32),
+                "cr_lv": cr.astype(np.int32),
+            }
+            self._check(arrays, 30, idr=False, poc=1)
