@@ -1,0 +1,473 @@
+"""Device (JAX) HEVC row-slice compute: prediction, transforms,
+quantization, motion search/compensation, reconstruction.
+
+Produces exactly the flat per-CTB arrays of the numpy reference
+(codec/h265/rowslice.py: compute_intra_rows / compute_p_rows) — array
+equality is enforced by tests/test_h265_device.py — which the native
+entropy stage (native/src/hevc_entropy.cc) turns into the bitstream.
+
+Design notes (mirrors ops/intra.py's H.264 layout):
+- One slice per CTB row => rows are data-independent: the column scan
+  carries only each row's right recon column (vmapped over rows), and
+  a 128-filled initial carry reproduces the spec's no-neighbor
+  substitution for column 0 for free.
+- Intra references reduce to (left column, corner = left[0]); the
+  four candidate modes (planar/DC/hor/ver) collapse to closed forms.
+- All integer math is int32: the worst-case dequant product is
+  level_max(qp) * (invScale << (qp//6)) ~= 8 * qScale * invScale
+  ~= 2^23 because level_max shrinks as the dequant scale grows (the
+  device only ever dequantizes its own quantizer's output).
+- The exhaustive +-8 full-pel motion search evaluates shifts in the
+  reference's center-outward order via packed (sad << 9 | rank) keys,
+  so argmin reproduces the numpy tie-breaking exactly.
+
+Replaces the compute core of the reference's external HEVC encoders
+(reference: pipeline/ *h265*; SURVEY.md §2.2, §7.1 steps 3-4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceracoder_tpu.codec.h265.tables import (
+    CHROMA_FILTER,
+    INV_QUANT_SCALES,
+    QUANT_SCALES,
+    T8,
+    T16,
+)
+
+CTB = 16
+SEARCH_RANGE = 8
+
+_MODES = jnp.array([0, 1, 10, 26], jnp.int32)   # planar, DC, hor, ver
+
+# center-outward shift enumeration matching
+# codec/h265/inter.py:motion_search (ties prefer the shorter MV)
+_OFFS = sorted(((dy, dx)
+                for dy in range(-SEARCH_RANGE, SEARCH_RANGE + 1)
+                for dx in range(-SEARCH_RANGE, SEARCH_RANGE + 1)),
+               key=lambda o: (abs(o[0]) + abs(o[1]), abs(o[0])))
+_OFF_DY = np.array([o[0] for o in _OFFS], np.int32)
+_OFF_DX = np.array([o[1] for o in _OFFS], np.int32)
+
+
+# ---------------------------------------------------------------------------
+# transforms / quant (spec 8.6; int32 throughout — see module note)
+# ---------------------------------------------------------------------------
+
+def _fwd_transform(res, t, log2n: int):
+    """res (..., n, n) int32 -> coefficients."""
+    s1 = log2n - 1
+    s2 = log2n + 6
+    a = (jnp.einsum("ij,...jk->...ik", t, res,
+                    preferred_element_type=jnp.int32)
+         + (1 << (s1 - 1))) >> s1
+    return (jnp.einsum("...ij,kj->...ik", a, t,
+                       preferred_element_type=jnp.int32)
+            + (1 << (s2 - 1))) >> s2
+
+
+def _inv_transform(coef, t, log2n: int):
+    a = (jnp.einsum("ji,...jk->...ik", t, coef,
+                    preferred_element_type=jnp.int32) + 64) >> 7
+    a = jnp.clip(a, -32768, 32767)
+    r = (jnp.einsum("...ij,jk->...ik", a, t,
+                    preferred_element_type=jnp.int32) + 2048) >> 12
+    return jnp.clip(r, -32768, 32767)
+
+
+def _quantize(coef, qp, log2n: int):
+    qbits = 21 + qp // 6 - log2n
+    scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+    off = 171 << (qbits - 9)
+    level = (jnp.abs(coef) * scale + off) >> qbits
+    return jnp.sign(coef) * level
+
+
+def _dequantize(level, qp, log2n: int):
+    bd_shift = log2n + 3
+    scale = jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qp % 6] * 16
+    d = (level * (scale << (qp // 6)) + (1 << (bd_shift - 1))) >> bd_shift
+    return jnp.clip(d, -32768, 32767)
+
+
+def _code_tu(src, pred, qp, t, log2n: int):
+    """Quantized levels + reconstruction for one batch of TUs."""
+    lv = _quantize(_fwd_transform(src - pred, t, log2n), qp, log2n)
+    cbf = lv.reshape(*lv.shape[:-2], -1).any(-1)
+    rec_res = _inv_transform(_dequantize(lv, qp, log2n), t, log2n)
+    rec = jnp.clip(pred + jnp.where(cbf[..., None, None], rec_res, 0),
+                   0, 255)
+    return lv, rec
+
+
+# ---------------------------------------------------------------------------
+# intra prediction from a left column (row-slice reference reduction)
+# ---------------------------------------------------------------------------
+
+def _intra_preds(left, n: int, luma: bool):
+    """All 4 candidate predictions from the left recon column.
+
+    left: (R, n) int32 (rows batch). In the row-slice schedule the
+    only reference is the left column; corner == left[0], the top row
+    and below-left substitute to corner / left[-1] (spec 8.4.4.2.2).
+    Returns (R, 4, n, n).
+    """
+    r = left.shape[0]
+    log2n = n.bit_length() - 1
+    corner = left[:, :1]                             # (R, 1)
+    xs = jnp.arange(n, dtype=jnp.int32)
+    # full 2n reference column: below-left substitutes from the last
+    # available sample (spec 8.4.4.2.2)
+    left2 = jnp.concatenate(
+        [left, jnp.repeat(left[:, -1:], n, axis=1)], axis=1)
+
+    # planar (spec 8.4.4.2.6); luma n>=8 smooths the refs (8.4.4.2.3):
+    # with top == corner everywhere only the left column changes
+    # (smoothed corner (l0+2c+t0+2)>>2 == c since c == l0 == t0)
+    if luma and n >= 8:
+        ext = jnp.concatenate([corner, left2], axis=1)  # (R, 2n+1)
+        fl = (ext[:, :-2] + 2 * ext[:, 1:-1] + ext[:, 2:] + 2) >> 2
+        fl = jnp.concatenate([fl, left2[:, -1:]], axis=1)
+    else:
+        fl = left2
+    pl_left = fl[:, :n]
+    bl = fl[:, n:n + 1]                              # p[-1][nTbS]
+    planar = ((n - 1 - xs)[None, None, :] * pl_left[:, :, None]
+              + (xs + 1)[None, None, :] * corner[:, :, None]
+              + (n - 1 - xs)[None, :, None] * corner[:, :, None]
+              + (xs + 1)[None, :, None] * bl[:, :, None]
+              + n) >> (log2n + 1)
+
+    # DC (8.4.4.2.5): top sums to n * corner
+    dc = (left.sum(1, keepdims=True) + n * corner + n) >> (log2n + 1)
+    dcp = jnp.broadcast_to(dc[:, :, None], (r, n, n))
+    if luma and n < 32:
+        row0 = (corner + 3 * dc + 2) >> 2            # top[x] == corner
+        col0 = (left + 3 * dc + 2) >> 2
+        c00 = (left[:, :1] + 2 * dc + corner + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(jnp.broadcast_to(row0, (r, n)))
+        dcp = dcp.at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(c00[:, 0])
+
+    # horizontal (mode 10): rows replicate left; the luma row-0 filter
+    # adds ((top - corner) >> 1) == 0
+    hor = jnp.broadcast_to(left[:, :, None], (r, n, n))
+
+    # vertical (mode 26): columns replicate top == corner; luma col-0
+    # filter: clip(corner + ((left - corner) >> 1))
+    ver = jnp.broadcast_to(corner[:, :, None], (r, n, n))
+    if luma and n < 32:
+        ver = ver.at[:, :, 0].set(
+            jnp.clip(corner + ((left - corner) >> 1), 0, 255))
+
+    return jnp.stack([planar, dcp, hor, ver], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# motion search / compensation
+# ---------------------------------------------------------------------------
+
+def motion_search_dev(cur, ref):
+    """Exhaustive +-8 full-pel SAD search per 16x16 CU, reproducing
+    codec/h265/inter.py:motion_search bit for bit (packed sad|rank
+    keys encode the center-outward tie order)."""
+    h, w = cur.shape
+    nch, ncw = h // CTB, w // CTB
+    rng = SEARCH_RANGE
+    ref_pad = jnp.pad(ref, rng, mode="edge")
+    n_off = len(_OFFS)
+
+    def one(off_idx, dy, dx):
+        sh = jax.lax.dynamic_slice(ref_pad, (dy + rng, dx + rng), (h, w))
+        sad = jnp.abs(cur - sh).reshape(nch, CTB, ncw, CTB).sum((1, 3))
+        return (sad << 9) | off_idx                   # sad<=65280 fits
+
+    chunk = 17
+    dys = jnp.asarray(_OFF_DY).reshape(n_off // chunk, chunk)
+    dxs = jnp.asarray(_OFF_DX).reshape(n_off // chunk, chunk)
+    idxs = jnp.arange(n_off, dtype=jnp.int32).reshape(-1, chunk)
+
+    def step(best, xs):
+        i, dy, dx = xs
+        keys = jax.vmap(one)(i, dy, dx)               # (chunk, nch, ncw)
+        return jnp.minimum(best, keys.min(0)), None
+
+    best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best, _ = jax.lax.scan(step, best, (idxs, dys, dxs))
+    rank = best & 511
+    mv = jnp.stack([jnp.asarray(_OFF_DY)[rank],
+                    jnp.asarray(_OFF_DX)[rank]], axis=-1)
+    return mv                                         # (nch, ncw, 2) f-pel
+
+
+def _mc_luma(ref, mv):
+    """Full-pel luma MC: gather with picture-edge clipping
+    (spec 8.5.4.2.2.1 Clip3 on integer sample positions)."""
+    h, w = ref.shape
+    nch, ncw = h // CTB, w // CTB
+    dy = jnp.repeat(jnp.repeat(mv[..., 0], CTB, 0), CTB, 1)
+    dx = jnp.repeat(jnp.repeat(mv[..., 1], CTB, 0), CTB, 1)
+    ri = jnp.clip(jnp.arange(h)[:, None] + dy, 0, h - 1)
+    ci = jnp.clip(jnp.arange(w)[None, :] + dx, 0, w - 1)
+    return ref[ri, ci]
+
+
+def _chroma_halfpel_planes(ref_c):
+    """The three half-sample filtered planes of a chroma reference
+    (4-tap DCT-IF, spec 8.5.4.2.2.2). Returns (4, Hc+2p, Wc+2p) padded
+    planes indexed by (fy//4)*2 + fx//4; integer-position gathers from
+    them reproduce the per-block clipped-patch filtering exactly."""
+    pad = SEARCH_RANGE // 2 + 2
+    p = jnp.pad(ref_c, pad, mode="edge").astype(jnp.int32)
+    t = [int(x) for x in CHROMA_FILTER[4]]
+
+    def filt_h(a):
+        return sum(t[k] * a[:, k:a.shape[1] - 3 + k] for k in range(4))
+
+    def filt_v(a):
+        return sum(t[k] * a[k:a.shape[0] - 3 + k, :] for k in range(4))
+
+    # full-pel (fy=0, fx=0): identity
+    p00 = p
+    # fx=4: horizontal only, (acc + 32) >> 6; patch offset -1
+    ph = filt_h(jnp.pad(p, ((0, 0), (1, 2)), mode="edge"))
+    p01 = jnp.clip((ph + 32) >> 6, 0, 255)
+    # fy=4: vertical only
+    pv = filt_v(jnp.pad(p, ((1, 2), (0, 0)), mode="edge"))
+    p10 = jnp.clip((pv + 32) >> 6, 0, 255)
+    # both: h then v, (acc + 2048) >> 12
+    pp = jnp.pad(p, ((1, 2), (1, 2)), mode="edge")
+    phv = filt_v(filt_h(pp))
+    p11 = jnp.clip((phv + (1 << 11)) >> 12, 0, 255)
+    return jnp.stack([p00, p01, p10, p11])
+
+
+def _mc_chroma(planes, mv_q, hc: int, wc: int):
+    """Chroma MC from the precomputed half-pel planes. mv_q is the
+    luma quarter-pel MV == chroma eighth-pel (spec 8.5.3.2.9); with
+    full-pel luma MVs the fractions are 0 or 4."""
+    pad = SEARCH_RANGE // 2 + 2
+    n = CTB // 2
+    nch, ncw = hc // n, wc // n
+    dyi = mv_q[..., 0] >> 3
+    dxi = mv_q[..., 1] >> 3
+    sel = ((mv_q[..., 0] >> 2) & 1) * 2 + ((mv_q[..., 1] >> 2) & 1)
+    dyi = jnp.repeat(jnp.repeat(dyi, n, 0), n, 1)
+    dxi = jnp.repeat(jnp.repeat(dxi, n, 0), n, 1)
+    sel = jnp.repeat(jnp.repeat(sel, n, 0), n, 1)
+    ri = jnp.arange(hc)[:, None] + dyi + pad
+    ci = jnp.arange(wc)[None, :] + dxi + pad
+    return planes[sel, ri, ci]
+
+
+# ---------------------------------------------------------------------------
+# frame ops
+# ---------------------------------------------------------------------------
+
+def _col_view(plane, n: int):
+    """(H, W) -> (ncols, nrows, n, n) column-major CTB tiles."""
+    h, w = plane.shape
+    return (plane.reshape(h // n, n, w // n, n)
+            .transpose(2, 0, 1, 3))
+
+
+def _from_cols(cols):
+    """(ncols, nrows, n, n) -> (H, W)."""
+    ncw, nch, n, _ = cols.shape
+    return cols.transpose(1, 2, 0, 3).reshape(nch * n, ncw * n)
+
+
+def _intra_col(ly, lu, lv, sy, su, sv, qp, qp_c, t16, t8):
+    """One CTB column of intra coding for all rows. Carries the right
+    recon columns; returns per-row (mode, levels, recon tiles)."""
+    preds = _intra_preds(ly, CTB, luma=True)            # (R, 4, 16, 16)
+    sad = jnp.abs(sy[:, None] - preds).sum((-1, -2))    # (R, 4)
+    midx = jnp.argmin(sad, axis=1)
+    best = jnp.take_along_axis(
+        preds, midx[:, None, None, None], axis=1)[:, 0]
+    lv_y, rec_y = _code_tu(sy, best, qp, t16, 4)
+
+    pu = _intra_preds(lu, CTB // 2, luma=False)
+    pv = _intra_preds(lv, CTB // 2, luma=False)
+    pu = jnp.take_along_axis(pu, midx[:, None, None, None], axis=1)[:, 0]
+    pv = jnp.take_along_axis(pv, midx[:, None, None, None], axis=1)[:, 0]
+    lv_u, rec_u = _code_tu(su, pu, qp_c, t8, 3)
+    lv_v, rec_v = _code_tu(sv, pv, qp_c, t8, 3)
+
+    mode = _MODES[midx]
+    return mode, (lv_y, lv_u, lv_v), (rec_y, rec_u, rec_v)
+
+
+def _make_scan(body, mbw_unroll: int):
+    """Wrap a per-column body into an unrolled lax.scan step."""
+    def step(carry, xs):
+        outs = []
+        for k in range(mbw_unroll):
+            carry, out = body(carry, jax.tree_util.tree_map(
+                lambda a: a[k], xs))
+            outs.append(out)
+        return carry, jax.tree_util.tree_map(
+            lambda *ts: jnp.stack(ts), *outs)
+    return step
+
+
+def _unroll_for(ncw: int) -> int:
+    return next(u for u in (8, 6, 5, 4, 3, 2, 1) if ncw % u == 0)
+
+
+@partial(jax.jit, static_argnames=())
+def encode_frame_i_rows(y, u, v, qp, qp_c):
+    """Device intra frame op. Planes CTB-aligned uint8. Returns the
+    flat per-CTB arrays (matching rowslice.compute_intra_rows) plus
+    padded and cropped recon planes."""
+    y = y.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    t16 = jnp.asarray(T16, jnp.int32)
+    t8 = jnp.asarray(T8, jnp.int32)
+
+    ys = _col_view(y, CTB)
+    us = _col_view(u, CTB // 2)
+    vs = _col_view(v, CTB // 2)
+
+    def body(carry, xs):
+        ly, lu, lv = carry
+        sy, su, sv = xs
+        mode, lvs, recs = _intra_col(ly, lu, lv, sy, su, sv,
+                                     qp, qp_c, t16, t8)
+        new_carry = (recs[0][:, :, -1], recs[1][:, :, -1],
+                     recs[2][:, :, -1])
+        return new_carry, (mode, *lvs, *recs)
+
+    unroll = _unroll_for(ncw)
+    init = (jnp.full((nch, CTB), 128, jnp.int32),
+            jnp.full((nch, CTB // 2), 128, jnp.int32),
+            jnp.full((nch, CTB // 2), 128, jnp.int32))
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape(ncw // unroll, unroll, *a.shape[1:]),
+        (ys, us, vs))
+    _, outs = jax.lax.scan(_make_scan(body, unroll), init, xs)
+    outs = jax.tree_util.tree_map(
+        lambda a: a.reshape(ncw, *a.shape[2:]), outs)
+    mode, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v = outs
+
+    return {
+        "is_intra": jnp.ones((nch, ncw), bool),
+        "mode": mode.T,
+        "mv": jnp.zeros((nch, ncw, 2), jnp.int32),
+        "luma_lv": lv_y.swapaxes(0, 1),
+        "cb_lv": lv_u.swapaxes(0, 1),
+        "cr_lv": lv_v.swapaxes(0, 1),
+        "recon": (_from_cols(rec_y).astype(jnp.uint8),
+                  _from_cols(rec_u).astype(jnp.uint8),
+                  _from_cols(rec_v).astype(jnp.uint8)),
+    }
+
+
+@partial(jax.jit, static_argnames=())
+def encode_frame_p_rows(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
+    """Device P frame op: exhaustive full-pel motion search, MC with
+    half-sample chroma, per-CTB intra fallback (3/4 SAD bias), matching
+    rowslice.compute_p_rows bit for bit."""
+    y = y.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+    ref_y = ref_y.astype(jnp.int32)
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    hc, wc = h // 2, w // 2
+    t16 = jnp.asarray(T16, jnp.int32)
+    t8 = jnp.asarray(T8, jnp.int32)
+
+    mv = motion_search_dev(y, ref_y)                  # (nch, ncw, 2)
+    mv_q = mv * 4
+    pred_y = _mc_luma(ref_y, mv)
+    planes_u = _chroma_halfpel_planes(ref_u)
+    planes_v = _chroma_halfpel_planes(ref_v)
+    pred_u = _mc_chroma(planes_u, mv_q, hc, wc)
+    pred_v = _mc_chroma(planes_v, mv_q, hc, wc)
+
+    inter_sad = (jnp.abs(y - pred_y)
+                 .reshape(nch, CTB, ncw, CTB).sum((1, 3)))
+
+    # inter residuals (carry-independent: outside the scan)
+    ilv_y, irec_y = _code_tu(_col_view(y, CTB), _col_view(pred_y, CTB),
+                             qp, t16, 4)
+    ilv_u, irec_u = _code_tu(_col_view(u, CTB // 2),
+                             _col_view(pred_u, CTB // 2), qp_c, t8, 3)
+    ilv_v, irec_v = _code_tu(_col_view(v, CTB // 2),
+                             _col_view(pred_v, CTB // 2), qp_c, t8, 3)
+
+    ys = _col_view(y, CTB)
+    us = _col_view(u, CTB // 2)
+    vs = _col_view(v, CTB // 2)
+    isad_cols = inter_sad.T                           # (ncw, nch)
+
+    def body(carry, xs):
+        ly, lu, lv = carry
+        sy, su, sv, int_lvs, int_recs, isad = xs
+
+        preds = _intra_preds(ly, CTB, luma=True)
+        sads = jnp.abs(sy[:, None] - preds).sum((-1, -2))
+        midx = jnp.argmin(sads, axis=1)
+        intra_sad = jnp.min(sads, axis=1)
+        use_intra = intra_sad * 4 < isad * 3          # (R,)
+
+        best = jnp.take_along_axis(
+            preds, midx[:, None, None, None], axis=1)[:, 0]
+        alv_y, arec_y = _code_tu(sy, best, qp, t16, 4)
+        pu = _intra_preds(lu, CTB // 2, luma=False)
+        pv = _intra_preds(lv, CTB // 2, luma=False)
+        pu = jnp.take_along_axis(pu, midx[:, None, None, None],
+                                 axis=1)[:, 0]
+        pv = jnp.take_along_axis(pv, midx[:, None, None, None],
+                                 axis=1)[:, 0]
+        alv_u, arec_u = _code_tu(su, pu, qp_c, t8, 3)
+        alv_v, arec_v = _code_tu(sv, pv, qp_c, t8, 3)
+
+        m = use_intra[:, None, None]
+        lv_y = jnp.where(m, alv_y, int_lvs[0])
+        lv_u = jnp.where(m, alv_u, int_lvs[1])
+        lv_v = jnp.where(m, alv_v, int_lvs[2])
+        rec_y = jnp.where(m, arec_y, int_recs[0])
+        rec_u = jnp.where(m, arec_u, int_recs[1])
+        rec_v = jnp.where(m, arec_v, int_recs[2])
+        mode = _MODES[midx]
+
+        new_carry = (rec_y[:, :, -1], rec_u[:, :, -1], rec_v[:, :, -1])
+        return new_carry, (use_intra, mode, lv_y, lv_u, lv_v,
+                           rec_y, rec_u, rec_v)
+
+    unroll = _unroll_for(ncw)
+    init = (jnp.full((nch, CTB), 128, jnp.int32),
+            jnp.full((nch, CTB // 2), 128, jnp.int32),
+            jnp.full((nch, CTB // 2), 128, jnp.int32))
+    xs = (ys, us, vs, (ilv_y, ilv_u, ilv_v),
+          (irec_y, irec_u, irec_v), isad_cols)
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape(ncw // unroll, unroll, *a.shape[1:]), xs)
+    _, outs = jax.lax.scan(_make_scan(body, unroll), init, xs)
+    outs = jax.tree_util.tree_map(
+        lambda a: a.reshape(ncw, *a.shape[2:]), outs)
+    (use_intra, mode, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v) = outs
+
+    is_intra = use_intra.T
+    return {
+        "is_intra": is_intra,
+        "mode": jnp.where(is_intra, mode.T, 0),
+        "mv": jnp.where(is_intra[..., None], 0, mv_q),
+        "luma_lv": lv_y.swapaxes(0, 1),
+        "cb_lv": lv_u.swapaxes(0, 1),
+        "cr_lv": lv_v.swapaxes(0, 1),
+        "recon": (_from_cols(rec_y).astype(jnp.uint8),
+                  _from_cols(rec_u).astype(jnp.uint8),
+                  _from_cols(rec_v).astype(jnp.uint8)),
+    }

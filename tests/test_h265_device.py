@@ -1,0 +1,120 @@
+"""Device HEVC path: ops/h265.py must reproduce the numpy reference
+arrays bit for bit, and the full device encoder (device compute +
+native entropy) must stream bit-exact through the libavcodec oracle.
+"""
+
+import numpy as np
+import pytest
+
+from ceracoder_tpu.codec.h265.rowslice import (
+    compute_intra_rows,
+    compute_p_rows,
+)
+from tests.test_h265_rows import _panning, decode
+
+KEYS = ("is_intra", "mode", "mv", "luma_lv", "cb_lv", "cr_lv")
+
+
+def _dev(outs):
+    return {k: np.asarray(v) for k, v in outs.items() if k != "recon"}, \
+        tuple(np.asarray(p).astype(np.int32) for p in outs["recon"])
+
+
+class TestDeviceOpsMatchReference:
+    def test_intra_arrays(self):
+        from ceracoder_tpu.ops.h265 import encode_frame_i_rows
+        rng = np.random.default_rng(13)
+        y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        u = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        v = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        for qp in (22, 30, 38):
+            ref, rec = compute_intra_rows(y, u, v, qp, qp - 1)
+            arr, drec = _dev(encode_frame_i_rows(y, u, v, qp, qp - 1))
+            for k in KEYS:
+                assert np.array_equal(ref[k], arr[k]), f"qp{qp} {k}"
+            for i in range(3):
+                assert np.array_equal(rec[i], drec[i]), f"qp{qp} rec{i}"
+
+    def test_p_arrays_motion_and_intra_fallback(self):
+        from ceracoder_tpu.ops.h265 import (
+            encode_frame_i_rows,
+            encode_frame_p_rows,
+        )
+        frames = _panning(3)
+        _, rec = compute_intra_rows(*frames[0], 30, 29)
+        rec8 = tuple(r.astype(np.uint8) for r in rec)
+        # motion + residual frame, then a smooth frame that flips CUs
+        # to intra fallback
+        grad = np.tile(np.linspace(0, 255, 96).astype(np.uint8), (64, 1))
+        smooth = (grad, np.full((32, 48), 90, np.uint8),
+                  np.full((32, 48), 170, np.uint8))
+        prev = rec
+        for f in (frames[1], frames[1], smooth):
+            ref, refrec = compute_p_rows(*f, prev, 30, 29)
+            arr, drec = _dev(encode_frame_p_rows(
+                *f, *(r.astype(np.uint8) for r in prev), 30, 29))
+            for k in KEYS:
+                assert np.array_equal(ref[k], arr[k]), k
+            for i in range(3):
+                assert np.array_equal(refrec[i], drec[i]), f"rec{i}"
+            prev = refrec
+        del rec8
+
+
+class TestDeviceEncoderConformance:
+    def _roundtrip(self, frames, w, h, tmp_path, tag, gop=50, qps=None):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        enc = H265DeviceEncoder(w, h, qp=30, gop=gop)
+        out = enc.headers()
+        pend, metas = [], []
+        for i, f in enumerate(frames):
+            pend.append(enc.encode_frame_async(
+                *f, qp=qps[i] if qps else None))
+        recon_by_frame = []
+        for p in pend:
+            fr = p.result()
+            out += fr.data
+            recon_by_frame.append(fr.recon)
+            metas.append(fr.keyframe)
+        path = tmp_path / f"{tag}.265"
+        path.write_bytes(out)
+        decoded = decode(path, w, h, len(frames))
+        for i, (d, r) in enumerate(zip(decoded, recon_by_frame)):
+            for name, dp, rp in zip("yuv", d, r):
+                hh, ww = dp.shape
+                assert np.array_equal(dp, rp[:hh, :ww]), \
+                    f"{tag} f{i} {name}"
+        return metas
+
+    def test_gop_stream(self, tmp_path):
+        kinds = self._roundtrip(_panning(6), 96, 64, tmp_path, "dev",
+                                gop=3)
+        assert kinds == [True, False, False, True, False, False]
+
+    def test_qp_switching(self, tmp_path):
+        self._roundtrip(_panning(4), 96, 64, tmp_path, "devqp",
+                        qps=[30, 35, 25, 30])
+
+    def test_async_pipeline_matches_sync(self, tmp_path):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = _panning(4)
+        enc = H265DeviceEncoder(96, 64, qp=31, gop=8)
+        pend = [enc.encode_frame_async(*f) for f in frames]
+        a = enc.headers() + b"".join(p.result().data for p in pend)
+        enc2 = H265DeviceEncoder(96, 64, qp=31, gop=8)
+        b = enc2.headers() + b"".join(
+            enc2.encode_frame(*f).data for f in frames)
+        assert a == b
+
+    def test_matches_row_encoder_stream(self, tmp_path):
+        """Device encoder and the numpy H265RowEncoder must emit the
+        identical bitstream (same arrays -> same entropy)."""
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
+        frames = _panning(3)
+        d = H265DeviceEncoder(96, 64, qp=30, gop=50)
+        r = H265RowEncoder(96, 64, qp=30, gop=50)
+        for f in frames:
+            dd = d.encode_frame(*f).data
+            rr, _ = r.encode_frame(*f)
+            assert dd == rr
