@@ -44,16 +44,18 @@ class H265DeviceEncoder:
     """
 
     def __init__(self, width: int, height: int, qp: int = 32,
-                 gop: int = 60, native_entropy: bool = True):
+                 gop: int = 60, native_entropy: bool = True,
+                 deblock: bool = True):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
         self.qp = qp
         self.gop = max(1, gop)
         self.native_entropy = native_entropy
+        self.deblock = deblock
         self._chroma_qp = chroma_qp
         self.params = HevcParams(width=width, height=height, qp=qp,
-                                 pcm_enabled=False)
+                                 pcm_enabled=False, deblock=deblock)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None              # device recon planes
@@ -99,7 +101,16 @@ class H265DeviceEncoder:
         else:
             outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp, qp_c)
             self._poc += 1
-        self._ref = outs["recon"]
+        if self.deblock:
+            import jax
+
+            from ceracoder_tpu.ops.h265 import deblock_frame_dev
+            cbf_l = outs["luma_lv"].reshape(
+                *outs["luma_lv"].shape[:2], -1).any(-1)
+            self._ref = jax.jit(deblock_frame_dev)(
+                *outs["recon"], outs["is_intra"], cbf_l, outs["mv"], qp)
+        else:
+            self._ref = outs["recon"]
 
         # compact for transfer: levels fit int16 (quantizer output of
         # 8-bit residuals is < 2^14 at any QP)
@@ -116,7 +127,7 @@ class H265DeviceEncoder:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        recon_dev = outs["recon"]
+        recon_dev = self._ref          # decoder output (post-deblock)
 
         def finish() -> EncodedFrame:
             arrays = {k: np.asarray(a) for k, a in send.items()}

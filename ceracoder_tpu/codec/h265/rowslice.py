@@ -441,15 +441,17 @@ class H265RowEncoder:
     encoder; also its overflow/no-native fallback."""
 
     def __init__(self, width: int, height: int, qp: int = 32,
-                 gop: int = 60, native_entropy: bool = True):
+                 gop: int = 60, native_entropy: bool = True,
+                 deblock: bool = True):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
         self.qp, self.qp_c = qp, chroma_qp(qp)
         self.gop = max(1, gop)
         self.native_entropy = native_entropy
+        self.deblock = deblock
         self.params = HevcParams(width=width, height=height, qp=qp,
-                                 pcm_enabled=False)
+                                 pcm_enabled=False, deblock=deblock)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None
@@ -482,6 +484,12 @@ class H265RowEncoder:
             rbsps = self._entropy(arrays, idr=False, poc=self._poc)
             ntype = NAL_TRAIL_R
             self._poc += 1
+        if self.deblock:
+            from ceracoder_tpu.codec.h265.deblock import deblock_frame
+            cbf_l = arrays["luma_lv"].reshape(
+                *arrays["luma_lv"].shape[:2], -1).any(-1)
+            rec = deblock_frame(*rec, arrays["is_intra"], cbf_l,
+                                arrays["mv"], self.qp)
         self._ref = rec
         self.recon = (rec[0][:self.height, :self.width].astype(np.uint8),
                       rec[1][:self.height // 2, :self.width // 2]

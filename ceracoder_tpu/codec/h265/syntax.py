@@ -68,6 +68,9 @@ class HevcParams:
     # low-delay I/P streams; 1 / 2 with one B between references)
     max_reorder: int = 0
     max_dpb_minus1: int = 1
+    # in-loop deblocking (row-slice encoders enable it; the raster
+    # encoders keep it off)
+    deblock: bool = False
 
     @property
     def ctb(self) -> int:
@@ -183,7 +186,10 @@ def write_pps(p: HevcParams) -> bytes:
     w.flag(1)       # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)       # deblocking_filter_control_present_flag
     w.flag(0)       # deblocking_filter_override_enabled_flag
-    w.flag(1)       # pps_deblocking_filter_disabled_flag
+    w.flag(0 if p.deblock else 1)  # pps_deblocking_filter_disabled_flag
+    if p.deblock:
+        w.se(0)     # pps_beta_offset_div2
+        w.se(0)     # pps_tc_offset_div2
     w.flag(0)       # pps_scaling_list_data_present_flag
     w.flag(0)       # lists_modification_present_flag
     w.ue(0)         # log2_parallel_merge_level_minus2
@@ -236,6 +242,11 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
         w.ue(3)             # five_minus_max_num_merge_cand -> 2 cands
     # (no SAO; no deblocking override)
     w.se(qp - 26)   # slice_qp_delta
+    if p.deblock:
+        # present when the PPS enables cross-slice filtering and
+        # deblocking is not disabled (spec 7.3.6.1); the frame-level
+        # deblock post-pass filters across row slices
+        w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
     # byte_alignment()
     w.u(1, 1)
     pad = (-w.bit_length) % 8

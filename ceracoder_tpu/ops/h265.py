@@ -267,6 +267,176 @@ def _mc_chroma(planes, mv_q, hc: int, wc: int):
 
 
 # ---------------------------------------------------------------------------
+# in-loop deblocking (spec 8.7.2; device twin of codec/h265/deblock.py)
+# ---------------------------------------------------------------------------
+
+_BETA_TABLE = np.array(
+    [0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22,
+                24, 26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50,
+                52, 54, 56, 58, 60, 62, 64], np.int32)
+_TC_TABLE = np.array(
+    [0] * 18 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+                4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
+                22, 24], np.int32)
+
+
+def _edge_bs_dev(is_intra, cbf_l, mv):
+    def pair(ia, ib, ca, cb, ma, mb):
+        two = ia | ib
+        one = ca | cb | (jnp.abs(ma - mb) >= 4).any(-1)
+        return jnp.where(two, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    bs_v = pair(is_intra[:, :-1], is_intra[:, 1:], cbf_l[:, :-1],
+                cbf_l[:, 1:], mv[:, :-1], mv[:, 1:])
+    bs_h = pair(is_intra[:-1, :], is_intra[1:, :], cbf_l[:-1, :],
+                cbf_l[1:, :], mv[:-1, :], mv[1:, :])
+    return bs_v, bs_h
+
+
+def _luma_edge_filter(p, q, bs, qp):
+    """p: (E, L, 4) p3..p0, q: (E, L, 4) q0..q3, bs: (E, L); L a
+    multiple of 4 (decision groups). Vectorized spec 8.7.2.5.3/.5.7."""
+    e, li, _ = p.shape
+    beta = jnp.asarray(_BETA_TABLE)[jnp.clip(qp, 0, 51)]
+    tc_all = jnp.asarray(_TC_TABLE)[jnp.clip(qp + 2 * (bs - 1), 0, 53)]
+    tc_all = jnp.where(bs > 0, tc_all, 0)
+
+    p3, p2, p1, p0 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    dp = jnp.abs(p2 - 2 * p1 + p0)
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+
+    g = li // 4
+    dp4 = dp.reshape(e, g, 4)
+    dq4 = dq.reshape(e, g, 4)
+    dpq0 = dp4[..., 0] + dq4[..., 0]
+    dpq3 = dp4[..., 3] + dq4[..., 3]
+    d = dpq0 + dpq3
+    tc_g = tc_all.reshape(e, g, 4)[..., 0]
+    bs_g = bs.reshape(e, g, 4)[..., 0]
+    filt = (d < beta) & (bs_g > 0)
+
+    def dsam(i):
+        dpq = dp4[..., i] + dq4[..., i]
+        sap = jnp.abs(p3 - p0).reshape(e, g, 4)[..., i]
+        saq = jnp.abs(q0 - q3).reshape(e, g, 4)[..., i]
+        spq = jnp.abs(p0 - q0).reshape(e, g, 4)[..., i]
+        return ((2 * dpq < (beta >> 2))
+                & (sap + saq < (beta >> 3))
+                & (spq < ((5 * tc_g + 1) >> 1)))
+
+    strong = filt & dsam(0) & dsam(3)
+    rep = lambda a: jnp.repeat(a, 4, axis=1)
+    filt_l, strong_l, tc = rep(filt), rep(strong), rep(tc_g)
+
+    c2 = lambda x, ref: jnp.clip(x, ref - 2 * tc, ref + 2 * tc)
+    sp0 = c2((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = c2((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = c2((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = c2((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0)
+    sq1 = c2((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+    sq2 = c2((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    wtake = jnp.abs(delta) < 10 * tc
+    dlt = jnp.clip(delta, -tc, tc)
+    wp0 = jnp.clip(p0 + dlt, 0, 255)
+    wq0 = jnp.clip(q0 - dlt, 0, 255)
+    side_th = (beta + (beta >> 1)) >> 3
+    dep = rep(dp4[..., 0] + dp4[..., 3] < side_th)
+    deq = rep(dq4[..., 0] + dq4[..., 3] < side_th)
+    tc2 = tc >> 1
+    dp1v = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2)
+    wp1 = jnp.clip(p1 + dp1v, 0, 255)
+    dq1v = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2)
+    wq1 = jnp.clip(q1 + dq1v, 0, 255)
+
+    wk = filt_l & ~strong_l & wtake
+    st = filt_l & strong_l
+    out_p = jnp.stack([
+        p3,
+        jnp.where(st, sp2, p2),
+        jnp.where(st, sp1, jnp.where(wk & dep, wp1, p1)),
+        jnp.where(st, sp0, jnp.where(wk, wp0, p0)),
+    ], axis=-1)
+    out_q = jnp.stack([
+        jnp.where(st, sq0, jnp.where(wk, wq0, q0)),
+        jnp.where(st, sq1, jnp.where(wk & deq, wq1, q1)),
+        jnp.where(st, sq2, q2),
+        q3,
+    ], axis=-1)
+    return out_p, out_q
+
+
+def _chroma_edge_filter(p, q, bs, qp):
+    """p: (E, L, 2) p1,p0; q: (E, L, 2) q0,q1; bs == 2 filters
+    (spec 8.7.2.5.5)."""
+    from ceracoder_tpu.codec.h265.tables import CHROMA_SCALE
+    qpc = jnp.asarray(CHROMA_SCALE, jnp.int32)[jnp.clip(qp, 0, 69)]
+    tc = jnp.asarray(_TC_TABLE)[jnp.clip(qpc + 2, 0, 53)]
+    p1, p0 = p[..., 0], p[..., 1]
+    q0, q1 = q[..., 0], q[..., 1]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    f = bs == 2
+    out_p = jnp.stack(
+        [p1, jnp.where(f, jnp.clip(p0 + delta, 0, 255), p0)], axis=-1)
+    out_q = jnp.stack(
+        [jnp.where(f, jnp.clip(q0 - delta, 0, 255), q0), q1], axis=-1)
+    return out_p, out_q
+
+
+def _deblock_axis(y, u, v, bs, qp, nblk: int):
+    """Filter all interior vertical CTB edges of one orientation.
+    y: (H, W) with edges every 16 columns; bs: (rows_of_blocks, n-1)
+    per-edge strengths; nblk = W // 16."""
+    h, w = y.shape
+    e = nblk - 1
+    if e == 0:
+        return y, u, v
+    yv = y.reshape(h, nblk, CTB)
+    p = yv[:, :-1, CTB - 4:].transpose(1, 0, 2)      # (E, H, 4)
+    q = yv[:, 1:, :4].transpose(1, 0, 2)
+    bs_l = jnp.repeat(bs, CTB, axis=0).T             # (E, H)
+    fp, fq = _luma_edge_filter(p, q, bs_l, qp)
+    yv = yv.at[:, :-1, CTB - 4:].set(fp.transpose(1, 0, 2))
+    yv = yv.at[:, 1:, :4].set(fq.transpose(1, 0, 2))
+    y = yv.reshape(h, w)
+
+    hc, wc = u.shape
+    nc = CTB // 2
+    bs_c = jnp.repeat(bs, nc, axis=0).T              # (E, Hc)
+    outs = []
+    for plane in (u, v):
+        pv = plane.reshape(hc, nblk, nc)
+        pc = pv[:, :-1, nc - 2:].transpose(1, 0, 2)
+        qc = pv[:, 1:, :2].transpose(1, 0, 2)
+        fpc, fqc = _chroma_edge_filter(pc, qc, bs_c, qp)
+        pv = pv.at[:, :-1, nc - 2:].set(fpc.transpose(1, 0, 2))
+        pv = pv.at[:, 1:, :2].set(fqc.transpose(1, 0, 2))
+        outs.append(pv.reshape(hc, wc))
+    return y, outs[0], outs[1]
+
+
+def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp):
+    """Device HEVC deblock post-pass; twin of
+    codec/h265/deblock.py:deblock_frame (vertical edges over the whole
+    picture, then horizontal edges on the result)."""
+    y = jnp.asarray(rec_y).astype(jnp.int32)
+    u = jnp.asarray(rec_u).astype(jnp.int32)
+    v = jnp.asarray(rec_v).astype(jnp.int32)
+    is_intra = jnp.asarray(is_intra)
+    cbf_l = jnp.asarray(cbf_l)
+    mv = jnp.asarray(mv)
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv)
+    y, u, v = _deblock_axis(y, u, v, bs_v, qp, ncw)
+    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, qp, nch)
+    return (yt.T.astype(jnp.uint8), ut.T.astype(jnp.uint8),
+            vt.T.astype(jnp.uint8))
+
+
+# ---------------------------------------------------------------------------
 # frame ops
 # ---------------------------------------------------------------------------
 

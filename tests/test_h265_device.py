@@ -61,6 +61,76 @@ class TestDeviceOpsMatchReference:
         del rec8
 
 
+def _smooth(n, w=176, h=144):
+    """Smooth sinusoidal content: engages the strong/weak luma filter
+    decision paths that noise content never reaches (caught a device
+    dp-derivative indexing bug noise tests missed)."""
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for i in range(n):
+        y = (128 + 90 * np.sin((xx + 5 * i) / 17.0)
+             * np.cos((yy + 3 * i) / 23.0)).astype(np.uint8)
+        frames.append((y, (y[::2, ::2] // 2 + 60).astype(np.uint8),
+                       (y[1::2, 1::2] // 3 + 70).astype(np.uint8)))
+    return frames
+
+
+class TestDeviceDeblockMatchesReference:
+    def test_deblock_equality_smooth(self):
+        from ceracoder_tpu.codec.h265.deblock import deblock_frame
+        from ceracoder_tpu.ops.h265 import deblock_frame_dev
+        frames = _smooth(2)
+        for qp in (28, 34):
+            arr, rec = compute_intra_rows(*frames[0], qp, qp - 1)
+            cbf = arr["luma_lv"].reshape(*arr["luma_lv"].shape[:2],
+                                         -1).any(-1)
+            ref = deblock_frame(*rec, arr["is_intra"], cbf, arr["mv"],
+                                qp)
+            dev = deblock_frame_dev(
+                *(x.astype(np.uint8) for x in rec),
+                arr["is_intra"], cbf, arr["mv"], qp)
+            for i in range(3):
+                assert np.array_equal(
+                    ref[i], np.asarray(dev[i]).astype(np.int32)), (qp, i)
+
+    def test_smooth_stream_conformance(self, tmp_path):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = _smooth(5)
+        enc = H265DeviceEncoder(176, 144, qp=34, gop=3)
+        out = enc.headers()
+        recs = []
+        for f in frames:
+            fr = enc.encode_frame(*f)
+            out += fr.data
+            recs.append(fr.recon)
+        path = tmp_path / "smooth.265"
+        path.write_bytes(out)
+        decoded = decode(path, 176, 144, len(frames))
+        for i, (d, r) in enumerate(zip(decoded, recs)):
+            for dp, rp in zip(d, r):
+                hh, ww = dp.shape
+                assert np.array_equal(dp, np.asarray(rp)[:hh, :ww]), i
+
+    def test_deblock_equality(self):
+        from ceracoder_tpu.codec.h265.deblock import deblock_frame
+        from ceracoder_tpu.ops.h265 import deblock_frame_dev
+        frames = _panning(2)
+        for qp in (24, 32, 40):
+            arr, rec = compute_intra_rows(*frames[0], qp, qp - 1)
+            arrp, recp = compute_p_rows(*frames[1], rec, qp, qp - 1)
+            for a, r in ((arr, rec), (arrp, recp)):
+                cbf = a["luma_lv"].reshape(*a["luma_lv"].shape[:2],
+                                           -1).any(-1)
+                ref = deblock_frame(*r, a["is_intra"], cbf, a["mv"], qp)
+                dev = deblock_frame_dev(
+                    *(x.astype(np.uint8) for x in r),
+                    a["is_intra"], cbf, a["mv"], qp)
+                for i in range(3):
+                    assert np.array_equal(ref[i],
+                                          np.asarray(dev[i])
+                                          .astype(np.int32)), (qp, i)
+
+
 class TestDeviceEncoderConformance:
     def _roundtrip(self, frames, w, h, tmp_path, tag, gop=50, qps=None):
         from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
