@@ -141,6 +141,172 @@ class H265DeviceEncoder:
 
         return PendingFrame(finish, idr, qp)
 
+    def encode_run_async(self, frames=None, qp: int | None = None,
+                         qps=None, source=None, indices=None,
+                         force_idr: bool = False,
+                         cap: int | None = None) -> list[PendingFrame]:
+        """Encode a run of consecutive frames in ONE device dispatch
+        (lax.scan carries the deblocked reference; the HEVC analog of
+        H264Encoder.encode_run_async). Levels transfer sparse-compacted
+        in fixed chunks; a frame whose levels overflow the capacity is
+        redone exactly on the host path."""
+        import jax.numpy as jnp
+
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK, encode_run_rows
+
+        nf = len(frames) if frames is not None else len(indices)
+        if nf == 0:
+            return []
+        n_ctb = (self.ph // CTB) * (self.pw // CTB)
+        cap = cap or max(2 * LEVEL_CHUNK, n_ctb * 48)
+        cap = -(-cap // LEVEL_CHUNK) * LEVEL_CHUNK
+
+        idr_flags = np.zeros(nf, bool)
+        qp_arr = np.zeros(nf, np.int32)
+        qpc_arr = np.zeros(nf, np.int32)
+        pocs = np.zeros(nf, np.int32)
+        have_ref = self._ref is not None
+        for f in range(nf):
+            qp_f = (qps[f] if qps is not None
+                    else (self.qp if qp is None else qp))
+            idr = ((force_idr and f == 0) or not have_ref
+                   or self._poc >= self.gop)
+            idr_flags[f] = idr
+            qp_arr[f] = qp_f
+            qpc_arr[f] = self._chroma_qp(qp_f)
+            pocs[f] = 0 if idr else self._poc
+            self._poc = 1 if idr else self._poc + 1
+            have_ref = True
+
+        prev_ref = self._ref
+        if prev_ref is None:
+            prev_ref = (jnp.zeros((self.ph, self.pw), jnp.uint8),
+                        jnp.zeros((self.ph // 2, self.pw // 2),
+                                  jnp.uint8),
+                        jnp.zeros((self.ph // 2, self.pw // 2),
+                                  jnp.uint8))
+        any_idr = bool(idr_flags.any())
+
+        if frames is not None:
+            ys = jnp.stack([self._pad_dev(t[0], self.ph, self.pw)
+                            for t in frames])
+            us = jnp.stack([self._pad_dev(t[1], self.ph // 2,
+                                          self.pw // 2) for t in frames])
+            vs = jnp.stack([self._pad_dev(t[2], self.ph // 2,
+                                          self.pw // 2) for t in frames])
+            source_fn = None
+            fidx = np.zeros(nf, np.int32)
+        else:
+            dummy = jnp.zeros((nf, 1, 1), jnp.uint8)
+            ys = us = vs = dummy
+            source_fn = source.gen_fn
+            fidx = np.asarray(indices, np.int32)
+
+        outs = encode_run_rows(
+            ys, us, vs, jnp.asarray(idr_flags), jnp.asarray(qp_arr),
+            jnp.asarray(qpc_arr), *prev_ref, jnp.asarray(fidx),
+            cap=cap, any_idr=any_idr, deblock=self.deblock,
+            source_fn=source_fn)
+        recons = outs["recon"]
+        self._ref = tuple(r[-1] for r in recons)
+
+        small = {k: outs[k] for k in ("is_intra", "mode", "mv",
+                                      "counts", "nnz")}
+        for a in small.values():
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        # prefetch the chunks the previous run needed (+1 margin)
+        npre = min(len(outs["pos_chunks"]),
+                   getattr(self, "_prev_nchunks", 1) + 1)
+        for c in range(npre):
+            for t in ("pos_chunks", "val_chunks"):
+                try:
+                    outs[t][c].copy_to_host_async()
+                except AttributeError:
+                    pass
+
+        cache: dict = {}
+
+        def get(name, c=None):
+            key = (name, c)
+            if key not in cache:
+                cache[key] = np.asarray(
+                    outs[name] if c is None else outs[name][c])
+            return cache[key]
+
+        pend = []
+        for f in range(nf):
+            pend.append(self._make_run_pending(
+                f, bool(idr_flags[f]), int(qp_arr[f]), int(qpc_arr[f]),
+                int(pocs[f]), get, len(outs["pos_chunks"]), cap,
+                recons, prev_ref, frames, source, fidx))
+        return pend
+
+    def _make_run_pending(self, f, idr, qp, qp_c, poc, get, nchunks,
+                          cap, recons, run_ref, frames, source, fidx):
+        from ceracoder_tpu.codec.h265.rowslice import densify_levels
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
+
+        def finish() -> EncodedFrame:
+            recon_dev = tuple(r[f] for r in recons)
+            nnz = int(get("nnz")[f])
+            if nnz > cap:
+                data = self._host_fallback(f, idr, qp, qp_c, poc,
+                                           recons, run_ref, frames,
+                                           source, fidx)
+                return EncodedFrame(data=data, keyframe=idr, qp=qp,
+                                    _recon_dev=recon_dev)
+            need = max(1, -(-nnz // LEVEL_CHUNK))
+            self._prev_nchunks = need
+            pos = np.concatenate(
+                [get("pos_chunks", c)[f] for c in range(need)])
+            val = np.concatenate(
+                [get("val_chunks", c)[f] for c in range(need)])
+            arrays = {
+                "is_intra": get("is_intra")[f],
+                "mode": get("mode")[f],
+                "mv": get("mv")[f],
+            }
+            arrays.update(densify_levels(get("counts")[f], pos, val))
+            rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
+            ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
+            data = b"".join(
+                nal_unit(ntype, r, long_start_code=(i == 0))
+                for i, r in enumerate(rbsps))
+            return EncodedFrame(data=data, keyframe=idr, qp=qp,
+                                _recon_dev=recon_dev)
+
+        return PendingFrame(finish, idr, qp)
+
+    def _host_fallback(self, f, idr, qp, qp_c, poc, recons, run_ref,
+                       frames, source, fidx) -> bytes:
+        """Redo one overflowing frame exactly on the host path,
+        referencing the in-run (deblocked) reconstruction."""
+        from ceracoder_tpu.codec.h265.rowslice import (
+            compute_intra_rows,
+            compute_p_rows,
+        )
+
+        if frames is not None:
+            y, u, v = frames[f]
+        else:
+            y, u, v = (np.asarray(p) for p in source.gen_fn(int(fidx[f])))
+        y = np.asarray(self._pad_dev(y, self.ph, self.pw))
+        u = np.asarray(self._pad_dev(u, self.ph // 2, self.pw // 2))
+        v = np.asarray(self._pad_dev(v, self.ph // 2, self.pw // 2))
+        if idr:
+            arrays, _ = compute_intra_rows(y, u, v, qp, qp_c)
+        else:
+            ref = run_ref if f == 0 else tuple(r[f - 1] for r in recons)
+            ref = tuple(np.asarray(p).astype(np.int32) for p in ref)
+            arrays, _ = compute_p_rows(y, u, v, ref, qp, qp_c)
+        rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
+        ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
+        return b"".join(nal_unit(ntype, r, long_start_code=(i == 0))
+                        for i, r in enumerate(rbsps))
+
     @property
     def recon(self):
         """Cropped reconstruction of the last encoded frame (host)."""

@@ -211,6 +211,29 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
     return arrays, (rec_y, rec_u, rec_v)
 
 
+def densify_levels(counts: np.ndarray, pos: np.ndarray,
+                   val: np.ndarray) -> dict:
+    """Rebuild dense per-CTB level arrays from the device's sparse
+    stream (ops/h265._compact_levels layout: CTB-major, per CTB
+    [luma 256 | cb 64 | cr 64], pos = slot within that layout)."""
+    nch, ncw, _ = counts.shape
+    n_ctb = nch * ncw
+    cnt = counts.reshape(n_ctb * 3).astype(np.int64)
+    nnz = int(cnt.sum())
+    # flat slot index of every entry: TU base + in-layout position
+    tu_of = np.repeat(np.arange(n_ctb * 3), cnt)
+    base = (tu_of // 3) * 384
+    flat = base + pos[:nnz].astype(np.int64)
+    dense = np.zeros(n_ctb * 384, np.int32)
+    dense[flat] = val[:nnz]
+    dense = dense.reshape(n_ctb, 384)
+    return {
+        "luma_lv": dense[:, :256].reshape(nch, ncw, 16, 16),
+        "cb_lv": dense[:, 256:320].reshape(nch, ncw, 8, 8),
+        "cr_lv": dense[:, 320:].reshape(nch, ncw, 8, 8),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Entropy stage (Python reference of native/src/hevc_entropy.cc)
 # ---------------------------------------------------------------------------

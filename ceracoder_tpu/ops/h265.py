@@ -491,11 +491,8 @@ def _unroll_for(ncw: int) -> int:
     return next(u for u in (8, 6, 5, 4, 3, 2, 1) if ncw % u == 0)
 
 
-@partial(jax.jit, static_argnames=())
-def encode_frame_i_rows(y, u, v, qp, qp_c):
-    """Device intra frame op. Planes CTB-aligned uint8. Returns the
-    flat per-CTB arrays (matching rowslice.compute_intra_rows) plus
-    padded and cropped recon planes."""
+def _i_frame_core(y, u, v, qp, qp_c):
+    """Intra frame core (see encode_frame_i_rows)."""
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
@@ -542,11 +539,44 @@ def encode_frame_i_rows(y, u, v, qp, qp_c):
     }
 
 
-@partial(jax.jit, static_argnames=())
-def encode_frame_p_rows(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
-    """Device P frame op: exhaustive full-pel motion search, MC with
-    half-sample chroma, per-CTB intra fallback (3/4 SAD bias), matching
-    rowslice.compute_p_rows bit for bit."""
+def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
+    """Sparse-compact the quantized levels of one frame for transfer.
+
+    Flattens per CTB as [luma 256 | cb 64 | cr 64] (raster inside each
+    TU) and keeps only nonzeros, in order. Returns
+      pos    (cap,) int16  position within the CTB's 384-slot layout
+      val    (cap,) int16  level
+      counts (n_ctb, 3) int32 per-TU nonzero counts
+      nnz    () int32 total (> cap means the buffer overflowed and the
+                             frame must be redone on the host path)
+    The stream is ordered CTB-major, so the host entropy stage
+    reconstructs each TU with a running offset — no full-frame dense
+    materialization on the host side.
+    """
+    nch, ncw = luma_lv.shape[:2]
+    n_ctb = nch * ncw
+    flat = jnp.concatenate([
+        luma_lv.reshape(n_ctb, 256),
+        cb_lv.reshape(n_ctb, 64),
+        cr_lv.reshape(n_ctb, 64),
+    ], axis=1)                                        # (n_ctb, 384)
+    mask = flat != 0
+    counts = jnp.stack([mask[:, :256].sum(1), mask[:, 256:320].sum(1),
+                        mask[:, 320:].sum(1)], axis=1).astype(jnp.int32)
+    fm = mask.reshape(-1)
+    fv = flat.reshape(-1)
+    fpos = jnp.tile(jnp.arange(384, dtype=jnp.int16), n_ctb)
+    dst = jnp.cumsum(fm) - 1
+    dst = jnp.where(fm, dst, cap)                     # drop into slot cap
+    pos = jnp.zeros(cap + 1, jnp.int16).at[dst].set(fpos, mode="drop")
+    val = jnp.zeros(cap + 1, jnp.int16).at[dst].set(
+        fv.astype(jnp.int16), mode="drop")
+    nnz = fm.sum().astype(jnp.int32)
+    return pos[:cap], val[:cap], counts.reshape(nch, ncw, 3), nnz
+
+
+def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
+    """P frame core (see encode_frame_p_rows)."""
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
@@ -641,3 +671,76 @@ def encode_frame_p_rows(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
                   _from_cols(rec_u).astype(jnp.uint8),
                   _from_cols(rec_v).astype(jnp.uint8)),
     }
+
+
+encode_frame_i_rows = jax.jit(_i_frame_core)
+encode_frame_p_rows = jax.jit(_p_frame_core)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-frame run dispatch
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit,
+         static_argnames=("cap", "any_idr", "deblock", "source_fn"))
+def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
+                    ref_y, ref_u, ref_v, frame_idx,
+                    cap: int, any_idr: bool, deblock: bool,
+                    source_fn=None):
+    """Encode a run of frames in ONE compiled dispatch (the HEVC
+    analog of codec/h264/device_entropy.encode_run_packed).
+
+    A lax.scan over frames carries the (deblocked) reference, so the
+    per-launch host round trip is paid once per run. Per frame the
+    quantized levels are sparse-compacted on device (_compact_levels)
+    — device->host traffic scales with coded content, not frame area.
+    ys/us/vs: (N, H, W)/... stacked planes, or dummies when source_fn
+    generates frames on device from frame_idx. Returns per-frame
+    stacked arrays + deblocked recons (recons[f] is frame f's
+    decoder-output picture; also the reference of frame f+1).
+    """
+
+    def one_frame(ref, y, u, v, idr, qp, qp_c):
+        if any_idr:
+            outs = jax.lax.cond(
+                idr,
+                lambda r: _i_frame_core(y, u, v, qp, qp_c),
+                lambda r: _p_frame_core(y, u, v, *r, qp, qp_c),
+                ref)
+        else:
+            outs = _p_frame_core(y, u, v, *ref, qp, qp_c)
+        if deblock:
+            cbf = outs["luma_lv"].reshape(
+                *outs["luma_lv"].shape[:2], -1).any(-1)
+            rec = deblock_frame_dev(*outs["recon"], outs["is_intra"],
+                                    cbf, outs["mv"], qp)
+        else:
+            rec = outs["recon"]
+        pos, val, counts, nnz = _compact_levels(
+            outs["luma_lv"], outs["cb_lv"], outs["cr_lv"], cap)
+        out = {"is_intra": outs["is_intra"], "mode": outs["mode"],
+               "mv": outs["mv"], "pos": pos, "val": val,
+               "counts": counts, "nnz": nnz, "recon": rec}
+        return rec, out
+
+    def step(ref, xs):
+        y, u, v, idr, qp, qp_c, fi = xs
+        if source_fn is not None:
+            y, u, v = source_fn(fi)
+        return one_frame(ref, y, u, v, idr, qp, qp_c)
+
+    init = (ref_y, ref_u, ref_v)
+    _, outs = jax.lax.scan(
+        step, init, (ys, us, vs, idr_flags, qps, qpcs, frame_idx))
+    # split the level streams into independently transferable chunks
+    # (the caller copies only the chunks each frame actually filled)
+    n = idr_flags.shape[0]
+    nchunk = cap // LEVEL_CHUNK
+    pos = outs.pop("pos").reshape(n, nchunk, LEVEL_CHUNK)
+    val = outs.pop("val").reshape(n, nchunk, LEVEL_CHUNK)
+    outs["pos_chunks"] = tuple(pos[:, c] for c in range(nchunk))
+    outs["val_chunks"] = tuple(val[:, c] for c in range(nchunk))
+    return outs
+
+
+LEVEL_CHUNK = 32768      # sparse-level entries per transfer chunk

@@ -176,6 +176,60 @@ class TestDeviceEncoderConformance:
             enc2.encode_frame(*f).data for f in frames)
         assert a == b
 
+    def test_run_dispatch_matches_per_frame(self, tmp_path):
+        """encode_run_async (whole segment in one lax.scan dispatch)
+        must produce the identical stream to per-frame encoding,
+        across run boundaries and with per-frame QP changes."""
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = _panning(6)
+        qps = [30, 30, 33, 33, 28, 28]
+        enc = H265DeviceEncoder(96, 64, qp=30, gop=4)
+        pend = enc.encode_run_async(frames[:3], qps=qps[:3])
+        pend += enc.encode_run_async(frames[3:], qps=qps[3:])
+        a = enc.headers() + b"".join(p.result().data for p in pend)
+        enc2 = H265DeviceEncoder(96, 64, qp=30, gop=4)
+        b = enc2.headers() + b"".join(
+            enc2.encode_frame(*f, qp=q).data
+            for f, q in zip(frames, qps))
+        assert a == b
+        path = tmp_path / "run.265"
+        path.write_bytes(a)
+        decode(path, 96, 64, 6)
+
+    def test_run_dispatch_overflow_falls_back(self):
+        """Frames whose sparse levels overflow the chunk capacity must
+        be redone exactly on the host path."""
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
+        rng = np.random.default_rng(3)
+        frames = [(rng.integers(0, 256, (64, 96)).astype(np.uint8),
+                   rng.integers(0, 256, (32, 48)).astype(np.uint8),
+                   rng.integers(0, 256, (32, 48)).astype(np.uint8))
+                  for _ in range(3)]
+        enc = H265DeviceEncoder(96, 64, qp=22, gop=8)
+        # noise at low QP: nnz per frame far exceeds one chunk; force
+        # overflow by capping at one chunk
+        pend = enc.encode_run_async(frames, cap=LEVEL_CHUNK)
+        a = enc.headers() + b"".join(p.result().data for p in pend)
+        enc2 = H265DeviceEncoder(96, 64, qp=22, gop=8)
+        b = enc2.headers() + b"".join(
+            enc2.encode_frame(*f).data for f in frames)
+        assert a == b
+
+    def test_run_dispatch_device_source(self):
+        from ceracoder_tpu.app.source import DeviceTestPatternSource
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        src = DeviceTestPatternSource(96, 64, texture=4)
+        enc = H265DeviceEncoder(96, 64, qp=30, gop=8)
+        pend = enc.encode_run_async(source=src, indices=range(4))
+        a = enc.headers() + b"".join(p.result().data for p in pend)
+        enc2 = H265DeviceEncoder(96, 64, qp=30, gop=8)
+        b = enc2.headers()
+        for i in range(4):
+            y, u, v = (np.asarray(p) for p in src.frame(i))
+            b += enc2.encode_frame(y, u, v).data
+        assert a == b
+
     def test_matches_row_encoder_stream(self, tmp_path):
         """Device encoder and the numpy H265RowEncoder must emit the
         identical bitstream (same arrays -> same entropy)."""
