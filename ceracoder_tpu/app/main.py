@@ -149,11 +149,12 @@ class CeracoderApp:
         w = (self.source.width + 15) // 16 * 16
         h = (self.source.height + 15) // 16 * 16
         if self.spec.codec == "hevc":
-            from ceracoder_tpu.codec.h265.encoder import H265AppEncoder
-            self.encoder = H265AppEncoder(
+            # device compute + native entropy (the production HEVC
+            # path); the numpy H265RowEncoder is its executable spec
+            from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+            self.encoder = H265DeviceEncoder(
                 self.source.width, self.source.height,
-                qp=self.rate.current_qp, fps_num=self.source.fps_num,
-                fps_den=self.source.fps_den, gop=self.spec.gop_frames)
+                qp=self.rate.current_qp, gop=self.spec.gop_frames)
             self.video_stream_type = 0x24   # STREAM_TYPE_HEVC
         else:
             self.encoder = H264Encoder(w, h, qp=self.rate.current_qp,

@@ -173,14 +173,19 @@ def _intra_preds(left, n: int, luma: bool):
 # motion search / compensation
 # ---------------------------------------------------------------------------
 
-def motion_search_dev(cur, ref):
+def motion_search_dev(cur, ref=None, ref_pad=None):
     """Exhaustive +-8 full-pel SAD search per 16x16 CU, reproducing
     codec/h265/inter.py:motion_search bit for bit (packed sad|rank
-    keys encode the center-outward tie order)."""
+    keys encode the center-outward tie order).
+
+    Either ref (edge-padded here) or ref_pad (already padded by
+    SEARCH_RANGE on every side — sharded callers supply neighbor-halo
+    rows instead of edge replication)."""
     h, w = cur.shape
     nch, ncw = h // CTB, w // CTB
     rng = SEARCH_RANGE
-    ref_pad = jnp.pad(ref, rng, mode="edge")
+    if ref_pad is None:
+        ref_pad = jnp.pad(ref, rng, mode="edge")
     n_off = len(_OFFS)
 
     def one(off_idx, dy, dx):
@@ -206,25 +211,28 @@ def motion_search_dev(cur, ref):
     return mv                                         # (nch, ncw, 2) f-pel
 
 
-def _mc_luma(ref, mv):
-    """Full-pel luma MC: gather with picture-edge clipping
-    (spec 8.5.4.2.2.1 Clip3 on integer sample positions)."""
-    h, w = ref.shape
-    nch, ncw = h // CTB, w // CTB
+def _mc_luma(ref_pad, mv, h: int, w: int):
+    """Full-pel luma MC from a SEARCH_RANGE-padded reference. Edge
+    padding reproduces the spec's Clip3 on integer sample positions
+    (8.5.4.2.2.1); sharded callers substitute neighbor halo rows."""
+    rng = SEARCH_RANGE
     dy = jnp.repeat(jnp.repeat(mv[..., 0], CTB, 0), CTB, 1)
     dx = jnp.repeat(jnp.repeat(mv[..., 1], CTB, 0), CTB, 1)
-    ri = jnp.clip(jnp.arange(h)[:, None] + dy, 0, h - 1)
-    ci = jnp.clip(jnp.arange(w)[None, :] + dx, 0, w - 1)
-    return ref[ri, ci]
+    ri = jnp.arange(h)[:, None] + dy + rng
+    ci = jnp.arange(w)[None, :] + dx + rng
+    return ref_pad[ri, ci]
 
 
-def _chroma_halfpel_planes(ref_c):
+CHROMA_PAD = SEARCH_RANGE // 2 + 2
+
+
+def _chroma_halfpel_planes(ref_c_pad):
     """The three half-sample filtered planes of a chroma reference
-    (4-tap DCT-IF, spec 8.5.4.2.2.2). Returns (4, Hc+2p, Wc+2p) padded
-    planes indexed by (fy//4)*2 + fx//4; integer-position gathers from
-    them reproduce the per-block clipped-patch filtering exactly."""
-    pad = SEARCH_RANGE // 2 + 2
-    p = jnp.pad(ref_c, pad, mode="edge").astype(jnp.int32)
+    already padded by CHROMA_PAD on every side (4-tap DCT-IF, spec
+    8.5.4.2.2.2). Returns (4, Hc+2p, Wc+2p) planes indexed by
+    (fy//4)*2 + fx//4; integer-position gathers from them reproduce
+    the per-block clipped-patch filtering exactly."""
+    p = ref_c_pad.astype(jnp.int32)
     t = [int(x) for x in CHROMA_FILTER[4]]
 
     def filt_h(a):
@@ -252,7 +260,7 @@ def _mc_chroma(planes, mv_q, hc: int, wc: int):
     """Chroma MC from the precomputed half-pel planes. mv_q is the
     luma quarter-pel MV == chroma eighth-pel (spec 8.5.3.2.9); with
     full-pel luma MVs the fractions are 0 or 4."""
-    pad = SEARCH_RANGE // 2 + 2
+    pad = CHROMA_PAD
     n = CTB // 2
     nch, ncw = hc // n, wc // n
     dyi = mv_q[..., 0] >> 3
@@ -576,22 +584,39 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
 
 
 def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
-    """P frame core (see encode_frame_p_rows)."""
+    """P frame core (see encode_frame_p_rows). Single-chip: the
+    reference is edge-padded here (== the spec's picture-edge clip);
+    sharded callers use _p_frame_core_padded with halo rows instead."""
+    ref_y_pad = jnp.pad(ref_y.astype(jnp.int32), SEARCH_RANGE,
+                        mode="edge")
+    ref_u_pad = jnp.pad(jnp.asarray(ref_u), CHROMA_PAD, mode="edge")
+    ref_v_pad = jnp.pad(jnp.asarray(ref_v), CHROMA_PAD, mode="edge")
+    return _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad,
+                                ref_v_pad, qp, qp_c)
+
+
+def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
+                         qp, qp_c):
+    """P frame core over pre-padded references: ref_y_pad carries
+    SEARCH_RANGE extra rows/cols, ref_u/v_pad CHROMA_PAD. The pad
+    content defines the out-of-band semantics (edge replication on a
+    single chip; neighbor halos + edge replication at picture borders
+    when row bands are sharded across chips)."""
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
-    ref_y = ref_y.astype(jnp.int32)
+    ref_y_pad = ref_y_pad.astype(jnp.int32)
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
     hc, wc = h // 2, w // 2
     t16 = jnp.asarray(T16, jnp.int32)
     t8 = jnp.asarray(T8, jnp.int32)
 
-    mv = motion_search_dev(y, ref_y)                  # (nch, ncw, 2)
+    mv = motion_search_dev(y, ref_pad=ref_y_pad)      # (nch, ncw, 2)
     mv_q = mv * 4
-    pred_y = _mc_luma(ref_y, mv)
-    planes_u = _chroma_halfpel_planes(ref_u)
-    planes_v = _chroma_halfpel_planes(ref_v)
+    pred_y = _mc_luma(ref_y_pad, mv, h, w)
+    planes_u = _chroma_halfpel_planes(ref_u_pad)
+    planes_v = _chroma_halfpel_planes(ref_v_pad)
     pred_u = _mc_chroma(planes_u, mv_q, hc, wc)
     pred_v = _mc_chroma(planes_v, mv_q, hc, wc)
 

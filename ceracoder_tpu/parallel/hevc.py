@@ -1,0 +1,205 @@
+"""Sharded HEVC encode step: streams x CTB-row bands over a device
+mesh, with ICI halo exchange.
+
+Parallelism axes (SURVEY.md §2.7):
+- ``streams`` (DP analog): independent streams, no communication.
+- ``rows`` (SP/CP analog): CTB-row bands of one frame. The row-slice
+  coding schedule makes the bands' *coding* loops fully independent;
+  the cross-chip traffic is exactly the physics of the codec:
+    * motion search / MC reads +-SEARCH_RANGE reference rows past the
+      band -> 8-row luma (6-row chroma) halos via ``ppermute``
+    * the deblock horizontal pass crosses band seams -> 4-row
+      post-vertical halos + 1-CTB-row metadata via ``ppermute``
+  Outputs are bit-identical to the single-chip ops (enforced by
+  tests/test_parallel_hevc.py), so the sharded step feeds the same
+  host entropy stage.
+
+Replaces the reference's single-box scaling story with mesh scaling
+(reference has no parallelism; SURVEY.md §2.7 maps its axes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ceracoder_tpu.ops.h265 import (
+    CHROMA_PAD,
+    CTB,
+    SEARCH_RANGE,
+    _chroma_edge_filter,
+    _deblock_axis,
+    _edge_bs_dev,
+    _i_frame_core,
+    _luma_edge_filter,
+    _p_frame_core_padded,
+)
+
+
+def _halo_rows(x, k: int, n_rows: int, axis_name: str = "rows"):
+    """Extend (S, Hb, W) with k rows from the row-band neighbors;
+    outermost bands replicate their border row (== the single-chip
+    picture-edge padding)."""
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n_rows - 1)]
+    bwd = [(i + 1, i) for i in range(n_rows - 1)]
+    top = jax.lax.ppermute(x[:, -k:, :], axis_name, fwd)
+    bot = jax.lax.ppermute(x[:, :k, :], axis_name, bwd)
+    top = jnp.where(idx == 0, jnp.repeat(x[:, :1, :], k, axis=1), top)
+    bot = jnp.where(idx == n_rows - 1,
+                    jnp.repeat(x[:, -1:, :], k, axis=1), bot)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _exchange(x, n_rows: int, axis_name: str = "rows"):
+    """(from_prev, from_next) copies of x; border devices receive
+    their own x back (callers mask with the band index)."""
+    fwd = [(i, i + 1) for i in range(n_rows - 1)]
+    bwd = [(i + 1, i) for i in range(n_rows - 1)]
+    return (jax.lax.ppermute(x, axis_name, fwd),
+            jax.lax.ppermute(x, axis_name, bwd))
+
+
+def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
+    """Band-local deblock matching the whole-frame filter: vertical
+    pass (row-local), then internal horizontal edges plus the band-
+    seam edges using post-vertical halos from the neighbors."""
+    y, u, v = (p.astype(jnp.int32) for p in rec)
+    hb, w = y.shape
+    nbh, ncw = hb // CTB, w // CTB
+    idx = jax.lax.axis_index("rows")
+
+    bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv)
+    # vertical edges: band-local
+    y, u, v = _deblock_axis(y, u, v, bs_v, qp, ncw)
+    # internal horizontal edges on the vertically-filtered band
+    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, qp, nbh)
+    y_i, u_i, v_i = yt.T, ut.T, vt.T
+
+    # ---- seam edges: exchange post-vertical strips + CTB metadata.
+    # Reads (rows 0..3 / Hb-4..Hb-1) are disjoint from the internal
+    # pass's writes (rows 12..Hb-13), so we exchange from the
+    # post-vertical arrays and write into the internally-filtered ones.
+    fwd = [(i, i + 1) for i in range(n_rows - 1)]   # to next band
+    bwd = [(i + 1, i) for i in range(n_rows - 1)]   # to prev band
+    send_fwd = lambda a: jax.lax.ppermute(a, "rows", fwd)
+    send_bwd = lambda a: jax.lax.ppermute(a, "rows", bwd)
+
+    # prev band's last CTB row metadata / next band's first
+    p_ii, p_cb, p_mv = (send_fwd(a[-1]) for a in (is_intra, cbf_l, mv))
+    n_ii, n_cb, n_mv = (send_bwd(a[0]) for a in (is_intra, cbf_l, mv))
+
+    def seam_bs(ia, ib, ca, cb, ma, mb):
+        two = ia | ib
+        one = ca | cb | (jnp.abs(ma - mb) >= 4).any(-1)
+        return jnp.where(two, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    bs_top = seam_bs(p_ii, is_intra[0], p_cb, cbf_l[0], p_mv, mv[0])
+    bs_bot = seam_bs(is_intra[-1], n_ii, cbf_l[-1], n_cb, mv[-1], n_mv)
+
+    # post-vertical strips from the neighbors
+    yp_prev = send_fwd(y[-4:, :])
+    yq_next = send_bwd(y[:4, :])
+    up_prev = send_fwd(u[-2:, :])
+    uq_next = send_bwd(u[:2, :])
+    vp_prev = send_fwd(v[-2:, :])
+    vq_next = send_bwd(v[:2, :])
+
+    # --- top seam (skip on band 0): filter (prev rows | own rows 0..3)
+    bs_l = jnp.repeat(bs_top, CTB)                 # (w,)
+    p_lines = yp_prev.T[None]                      # (1, w, 4) p3..p0
+    q_lines = y[:4, :].T[None]                     # (1, w, 4) q0..q3
+    fp_top, fq_top = _luma_edge_filter(p_lines, q_lines, bs_l[None], qp)
+    own_q = jnp.where(idx == 0, y_i[:4, :],
+                      fq_top[0].T)                 # keep q side
+    y_i = y_i.at[:4, :].set(own_q)
+
+    # --- bottom seam (skip on last band): keep p side
+    bs_l2 = jnp.repeat(bs_bot, CTB)
+    p_lines2 = y[-4:, :].T[None]
+    q_lines2 = yq_next.T[None]
+    fp_bot, _ = _luma_edge_filter(p_lines2, q_lines2, bs_l2[None], qp)
+    own_p = jnp.where(idx == n_rows - 1, y_i[-4:, :], fp_bot[0].T)
+    y_i = y_i.at[-4:, :].set(own_p)
+
+    # --- chroma seams
+    bs_ct = jnp.repeat(bs_top, CTB // 2)
+    bs_cb = jnp.repeat(bs_bot, CTB // 2)
+    outs = []
+    for pl, pl_i, pp, qn in ((u, u_i, up_prev, uq_next),
+                             (v, v_i, vp_prev, vq_next)):
+        fpc, fqc = _chroma_edge_filter(pp.T[None], pl[:2, :].T[None],
+                                       bs_ct[None], qp)
+        q_side = jnp.where(idx == 0, pl_i[:2, :], fqc[0].T)
+        pl_i = pl_i.at[:2, :].set(q_side)
+        fpc2, _ = _chroma_edge_filter(pl[-2:, :].T[None], qn.T[None],
+                                      bs_cb[None], qp)
+        p_side = jnp.where(idx == n_rows - 1, pl_i[-2:, :], fpc2[0].T)
+        pl_i = pl_i.at[-2:, :].set(p_side)
+        outs.append(pl_i)
+
+    return (y_i.astype(jnp.uint8), outs[0].astype(jnp.uint8),
+            outs[1].astype(jnp.uint8))
+
+
+def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
+                      deblock: bool = True):
+    """Build a jitted sharded HEVC encode step over (streams, rows).
+
+    Inputs: y (S, H, W), u, v (S, H/2, W/2) uint8 planes and the
+    previous deblocked reconstruction (same shapes) — all sharded
+    streams x row-bands. Returns the per-CTB arrays and the deblocked
+    reconstruction (sharded like the inputs) plus a per-stream psum of
+    nonzero-level counts for rate control. Bit-identical to the
+    single-chip ops for any band split.
+    """
+    n_rows = mesh.shape["rows"]
+
+    def shard_fn(y, u, v, ry, ru, rv):
+        if not idr:
+            ry = _halo_rows(ry.astype(jnp.int32), SEARCH_RANGE, n_rows)
+            ru = _halo_rows(ru.astype(jnp.int32), CHROMA_PAD, n_rows)
+            rv = _halo_rows(rv.astype(jnp.int32), CHROMA_PAD, n_rows)
+
+        def per_stream(yb, ub, vb, ryb, rub, rvb):
+            if idr:
+                outs = _i_frame_core(yb, ub, vb, qp, qp_c)
+            else:
+                kp = SEARCH_RANGE
+                kc = CHROMA_PAD
+                ry_pad = jnp.pad(ryb, ((0, 0), (kp, kp)), mode="edge")
+                ru_pad = jnp.pad(rub, ((0, 0), (kc, kc)), mode="edge")
+                rv_pad = jnp.pad(rvb, ((0, 0), (kc, kc)), mode="edge")
+                outs = _p_frame_core_padded(yb, ub, vb, ry_pad, ru_pad,
+                                            rv_pad, qp, qp_c)
+            return outs
+
+        outs = jax.vmap(per_stream)(y, u, v, ry, ru, rv)
+        if deblock:
+            cbf = outs["luma_lv"].reshape(
+                *outs["luma_lv"].shape[:3], -1).any(-1)
+
+            def db(rec_y, rec_u, rec_v, ii, cb, mvv, ):
+                return _deblock_banded((rec_y, rec_u, rec_v), ii, cb,
+                                       mvv, qp, n_rows)
+            outs["recon"] = jax.vmap(db)(
+                *outs["recon"], outs["is_intra"], cbf, outs["mv"])
+        nz = (outs["luma_lv"] != 0).reshape(y.shape[0], -1).sum(1) \
+            + (outs["cb_lv"] != 0).reshape(y.shape[0], -1).sum(1) \
+            + (outs["cr_lv"] != 0).reshape(y.shape[0], -1).sum(1)
+        nz_total = jax.lax.psum(nz, "rows")
+        return outs, nz_total
+
+    sp = P("streams", "rows", None)
+    band2 = P("streams", "rows")
+    out_specs = (
+        dict(is_intra=band2, mode=band2, mv=band2,
+             luma_lv=band2, cb_lv=band2, cr_lv=band2,
+             recon=(band2, band2, band2)),
+        P("streams"),
+    )
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(sp, sp, sp, sp, sp, sp),
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)

@@ -1,0 +1,140 @@
+"""Sharded HEVC step: streams x row-bands over an 8-device CPU mesh
+must be bit-identical to the single-chip ops (halo exchange for motion
+search/MC and the deblock seam pass included), and its arrays must
+feed the same entropy stage (SURVEY.md §2.7, §4 multi-chip testing).
+"""
+
+import numpy as np
+
+import jax
+
+from ceracoder_tpu.ops.h265 import (
+    deblock_frame_dev,
+    encode_frame_i_rows,
+    encode_frame_p_rows,
+)
+from ceracoder_tpu.parallel.hevc import hevc_sharded_step
+from ceracoder_tpu.parallel.mesh import make_mesh
+
+KEYS = ("is_intra", "mode", "mv", "luma_lv", "cb_lv", "cr_lv")
+
+
+def _content(s, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (s, 2 * h, 2 * w)).astype(np.uint8)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = (128 + 80 * np.sin(xx / 13.0) * np.cos(yy / 19.0)) \
+        .astype(np.uint8)
+
+    def frame(i):
+        ys = []
+        for st in range(s):
+            y = base[st, 3 * i:h + 3 * i, 2 * i:w + 2 * i].copy()
+            if st % 2:
+                y = ((y.astype(np.int32) + smooth) // 2).astype(np.uint8)
+            ys.append(y)
+        y = np.stack(ys)
+        return (y, (y[:, ::2, ::2] // 2 + 50).astype(np.uint8),
+                (y[:, 1::2, 1::2] // 3 + 80).astype(np.uint8))
+    return frame
+
+
+def _single_chip(y, u, v, ref, qp, qp_c, idr):
+    outs = []
+    for st in range(y.shape[0]):
+        if idr:
+            o = encode_frame_i_rows(y[st], u[st], v[st], qp, qp_c)
+        else:
+            o = encode_frame_p_rows(y[st], u[st], v[st],
+                                    *(r[st] for r in ref), qp, qp_c)
+        o = dict(o)
+        cbf = np.asarray(o["luma_lv"]).reshape(
+            *np.asarray(o["luma_lv"]).shape[:2], -1).any(-1)
+        o["recon"] = deblock_frame_dev(*o["recon"], o["is_intra"],
+                                       cbf, o["mv"], qp)
+        outs.append(jax.tree_util.tree_map(np.asarray, o))
+    return outs
+
+
+def test_sharded_matches_single_chip():
+    s, h, w = 2, 64, 96          # 4 bands of 16 rows on a 2x4 mesh
+    qp, qp_c = 30, 29
+    mesh = make_mesh(n_streams=2, n_rows=4)
+    frame = _content(s, h, w)
+
+    # IDR step
+    y0, u0, v0 = frame(0)
+    zeros = (np.zeros_like(y0), np.zeros_like(u0), np.zeros_like(v0))
+    fn_i = hevc_sharded_step(mesh, qp, qp_c, idr=True)
+    outs_i, nz = fn_i(y0, u0, v0, *zeros)
+    ref_i = _single_chip(y0, u0, v0, None, qp, qp_c, idr=True)
+    for st in range(s):
+        for k in KEYS:
+            assert np.array_equal(np.asarray(outs_i[k])[st],
+                                  ref_i[st][k]), f"I s{st} {k}"
+        for i in range(3):
+            assert np.array_equal(np.asarray(outs_i["recon"][i])[st],
+                                  ref_i[st]["recon"][i]), f"I rec {i}"
+
+    # P step referencing the deblocked recon (halo paths exercised by
+    # real motion: panning + mixed content)
+    y1, u1, v1 = frame(1)
+    fn_p = hevc_sharded_step(mesh, qp, qp_c, idr=False)
+    outs_p, nz_p = fn_p(y1, u1, v1, *outs_i["recon"])
+    ref_rec = tuple(np.stack([ref_i[st]["recon"][i] for st in range(s)])
+                    for i in range(3))
+    ref_p = _single_chip(y1, u1, v1, ref_rec, qp, qp_c, idr=False)
+    for st in range(s):
+        for k in KEYS:
+            assert np.array_equal(np.asarray(outs_p[k])[st],
+                                  ref_p[st][k]), f"P s{st} {k}"
+        for i in range(3):
+            assert np.array_equal(np.asarray(outs_p["recon"][i])[st],
+                                  ref_p[st]["recon"][i]), f"P rec {i}"
+
+    # rate-control feed: psum'd nonzero counts match the arrays
+    for st in range(s):
+        expect = sum(int((ref_p[st][k] != 0).sum())
+                     for k in ("luma_lv", "cb_lv", "cr_lv"))
+        assert int(np.asarray(nz_p)[st]) == expect
+
+
+def test_sharded_cross_band_motion():
+    """Vertical panning moves content across band boundaries: MVs must
+    reach into neighbor halos and still match single-chip."""
+    s, h, w = 1, 64, 64
+    qp, qp_c = 32, 31
+    mesh = make_mesh(n_streams=1, n_rows=4)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (2 * h, w)).astype(np.uint8)
+    f0y = base[:h].copy()[None]
+    f1y = base[6:h + 6].copy()[None]       # pure vertical motion dy=6
+
+    def chroma(y):
+        return ((y[:, ::2, ::2] // 2 + 60).astype(np.uint8),
+                (y[:, 1::2, 1::2] // 3 + 70).astype(np.uint8))
+
+    u0, v0 = chroma(f0y)
+    u1, v1 = chroma(f1y)
+    fn_i = hevc_sharded_step(mesh, qp, qp_c, idr=True)
+    outs_i, _ = fn_i(f0y, u0, v0, np.zeros_like(f0y),
+                     np.zeros_like(u0), np.zeros_like(v0))
+    fn_p = hevc_sharded_step(mesh, qp, qp_c, idr=False)
+    outs_p, _ = fn_p(f1y, u1, v1, *outs_i["recon"])
+    mvs = np.asarray(outs_p["mv"])[0]
+    # dominant MV is dy=+6 full-pel (+24 qpel): reaches 6 rows past
+    # the band boundary, through the exchanged halo
+    vals, counts = np.unique(mvs.reshape(-1, 2), axis=0,
+                             return_counts=True)
+    assert (vals[counts.argmax()] == [24, 0]).all()
+
+    ref_i = _single_chip(f0y, u0, v0, None, qp, qp_c, idr=True)
+    ref_rec = tuple(r[None] if r.ndim == 2 else r
+                    for r in (np.stack([ref_i[0]["recon"][i]])
+                              for i in range(3)))
+    ref_p = _single_chip(f1y, u1, v1, ref_rec, qp, qp_c, idr=False)
+    for k in KEYS:
+        assert np.array_equal(np.asarray(outs_p[k])[0], ref_p[0][k]), k
+    for i in range(3):
+        assert np.array_equal(np.asarray(outs_p["recon"][i])[0],
+                              ref_p[0]["recon"][i]), i
