@@ -161,6 +161,113 @@ def bi_combine(p0_14: np.ndarray, p1_14: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Quarter-pel motion: interpolation planes + sub-pel refinement
+# ---------------------------------------------------------------------------
+
+PLANE_PAD = SEARCH_RANGE + 1     # qpel MVs floor to -(rng+1) integer
+LUMA_SRC_PAD = PLANE_PAD + 4     # 8-tap DCT-IF reaches -3..+4
+
+# refinement candidates, fixed evaluation order (ties keep the
+# earlier candidate); quarter stage uses the same pattern halved
+SUBPEL_OFFS = ((0, 0), (0, -1), (0, 1), (-1, 0), (1, 0),
+               (-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def luma_qpel_planes(ref_y: np.ndarray) -> np.ndarray:
+    """All 16 (fy, fx) quarter-sample interpolation planes of a luma
+    reference (8-tap DCT-IF, spec 8.5.4.2.2.1), edge-padded by
+    PLANE_PAD. plane[fy*4+fx][y+P][x+P] is the prediction sample at
+    (y + fy/4, x + fx/4); integer tap positions clip to the picture
+    (== filtering the edge-padded source). The unified two-stage
+    ladder ((h-sum -> v-sum) + 2048) >> 12 reproduces every spec case
+    because LUMA_FILTER[0] is the 64-identity."""
+    from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
+
+    h, w = ref_y.shape
+    pp = PLANE_PAD
+    src = np.pad(ref_y, LUMA_SRC_PAD, mode="edge").astype(np.int64)
+    wo = w + 2 * pp
+    ho = h + 2 * pp
+    planes = np.empty((16, ho, wo), np.int32)
+    for fx in range(4):
+        taps = LUMA_FILTER[fx].astype(np.int64)
+        tmp = sum(int(taps[k]) * src[:, 1 + k:1 + k + wo]
+                  for k in range(8))                 # (H+2sp, wo)
+        for fy in range(4):
+            tv = LUMA_FILTER[fy].astype(np.int64)
+            acc = sum(int(tv[k]) * tmp[1 + k:1 + k + ho, :]
+                      for k in range(8))
+            planes[fy * 4 + fx] = np.clip((acc + 2048) >> 12, 0, 255)
+    return planes
+
+
+def mc_luma_qpel(planes: np.ndarray, mv_q: np.ndarray,
+                 h: int, w: int) -> np.ndarray:
+    """Whole-frame luma MC from the qpel planes; mv_q (nch, ncw, 2)
+    per-CU quarter-pel MVs."""
+    n = 16
+    dyi = np.repeat(np.repeat(mv_q[..., 0] >> 2, n, 0), n, 1)
+    dxi = np.repeat(np.repeat(mv_q[..., 1] >> 2, n, 0), n, 1)
+    sel = (np.repeat(np.repeat(mv_q[..., 0] & 3, n, 0), n, 1) * 4
+           + np.repeat(np.repeat(mv_q[..., 1] & 3, n, 0), n, 1))
+    ri = np.arange(h)[:, None] + dyi + PLANE_PAD
+    ci = np.arange(w)[None, :] + dxi + PLANE_PAD
+    return planes[sel, ri, ci].astype(np.int32)
+
+
+def mc_chroma_qpel(ref_c: np.ndarray, mv_q: np.ndarray,
+                   hc: int, wc: int) -> np.ndarray:
+    """Whole-frame chroma MC for arbitrary luma qpel MVs (chroma
+    eighth-sample, spec 8.5.4.2.2.2): 4x4 tap window with per-CU
+    fraction weights over the edge-padded plane. The unified
+    ((h -> v) + 2048) >> 12 ladder covers all 64 fraction combos
+    (CHROMA_FILTER[0] is the 64-identity)."""
+    n = 8
+    pad = SEARCH_RANGE // 2 + 2
+    p = np.pad(ref_c, pad, mode="edge").astype(np.int64)
+    dyi = np.repeat(np.repeat(mv_q[..., 0] >> 3, n, 0), n, 1)
+    dxi = np.repeat(np.repeat(mv_q[..., 1] >> 3, n, 0), n, 1)
+    fy = np.repeat(np.repeat(mv_q[..., 0] & 7, n, 0), n, 1)
+    fx = np.repeat(np.repeat(mv_q[..., 1] & 7, n, 0), n, 1)
+    ty = CHROMA_FILTER[fy].astype(np.int64)         # (hc, wc, 4)
+    tx = CHROMA_FILTER[fx].astype(np.int64)
+    ri = np.arange(hc)[:, None] + dyi + pad
+    ci = np.arange(wc)[None, :] + dxi + pad
+    acc = np.zeros((hc, wc), np.int64)
+    for k in range(4):
+        tmp = np.zeros((hc, wc), np.int64)
+        for l in range(4):                          # noqa: E741
+            tmp += tx[..., l] * p[ri - 1 + k, ci - 1 + l]
+        acc += ty[..., k] * tmp
+    return np.clip((acc + 2048) >> 12, 0, 255).astype(np.int32)
+
+
+def refine_subpel(cur_y: np.ndarray, planes: np.ndarray,
+                  mv_full: np.ndarray) -> np.ndarray:
+    """Half- then quarter-pel SAD refinement around the full-pel
+    winner. Candidate order is SUBPEL_OFFS (scaled by the step);
+    strictly-better SAD wins, ties keep the earlier candidate.
+    Returns (nch, ncw, 2) qpel MVs."""
+    h, w = cur_y.shape
+    nch, ncw = h // 16, w // 16
+    cur = cur_y.astype(np.int64)
+    mv_q = mv_full.astype(np.int32) * 4
+    for step in (2, 1):
+        best_sad = np.full((nch, ncw), 1 << 60, np.int64)
+        best_mv = mv_q.copy()
+        for dy, dx in SUBPEL_OFFS:
+            cand = mv_q + np.array([dy * step, dx * step], np.int32)
+            pred = mc_luma_qpel(planes, cand, h, w)
+            sad = (np.abs(cur - pred)
+                   .reshape(nch, 16, ncw, 16).sum((1, 3)))
+            better = sad < best_sad
+            best_sad = np.where(better, sad, best_sad)
+            best_mv = np.where(better[..., None], cand, best_mv)
+        mv_q = best_mv
+    return mv_q
+
+
+# ---------------------------------------------------------------------------
 # Normative candidate derivations (CTB == CU == one 2Nx2N PU)
 # ---------------------------------------------------------------------------
 

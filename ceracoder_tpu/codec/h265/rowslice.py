@@ -35,9 +35,11 @@ from ceracoder_tpu.codec.h265.ctx_tables import build_slice_contexts
 from ceracoder_tpu.codec.h265.encoder import _mpm_list, _pad
 from ceracoder_tpu.codec.h265.inter import (
     encode_mvd,
-    mc_chroma_block,
-    mc_luma_block,
+    luma_qpel_planes,
+    mc_chroma_qpel,
+    mc_luma_qpel,
     motion_search,
+    refine_subpel,
 )
 from ceracoder_tpu.codec.h265.residual import encode_residual
 from ceracoder_tpu.codec.h265.syntax import (
@@ -164,13 +166,18 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
     cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
 
     mvs = motion_search(y, ref_y)
+    planes = luma_qpel_planes(ref_y)
+    mvs_q = refine_subpel(y, planes, mvs)
+    pred_y_all = mc_luma_qpel(planes, mvs_q, h, w)
+    pred_u_all = mc_chroma_qpel(ref_u, mvs_q, h // 2, w // 2)
+    pred_v_all = mc_chroma_qpel(ref_v, mvs_q, h // 2, w // 2)
 
     for cy in range(nch):
         for cx in range(ncw):
             x0, y0 = cx * CTB, cy * CTB
             src = y[y0:y0 + CTB, x0:x0 + CTB]
-            mv_q = (int(mvs[cy, cx, 0]) * 4, int(mvs[cy, cx, 1]) * 4)
-            pred_y = mc_luma_block(ref_y, x0, y0, CTB, mv_q)
+            mv_q = (int(mvs_q[cy, cx, 0]), int(mvs_q[cy, cx, 1]))
+            pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
             inter_sad = int(np.abs(src - pred_y).sum())
             lref = _ref_samples_row(rec_y, x0, y0, CTB)
             ibest, ipred, isad = None, None, 1 << 30
@@ -197,8 +204,8 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
                 mv[cy, cx] = mv_q
                 _, luma_lv[cy, cx] = _code_tu_pred(
                     src, rec_y, pred_y, x0, y0, qp)
-                pred_u = mc_chroma_block(ref_u, cx0, cy0, nc, mv_q)
-                pred_v = mc_chroma_block(ref_v, cx0, cy0, nc, mv_q)
+                pred_u = pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc]
+                pred_v = pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
                 _, cb_lv[cy, cx] = _code_tu_pred(

@@ -173,23 +173,27 @@ def _intra_preds(left, n: int, luma: bool):
 # motion search / compensation
 # ---------------------------------------------------------------------------
 
-def motion_search_dev(cur, ref=None, ref_pad=None):
+def motion_search_dev(cur, ref=None, ref_pad=None,
+                      pad: int | None = None):
     """Exhaustive +-8 full-pel SAD search per 16x16 CU, reproducing
     codec/h265/inter.py:motion_search bit for bit (packed sad|rank
     keys encode the center-outward tie order).
 
-    Either ref (edge-padded here) or ref_pad (already padded by
-    SEARCH_RANGE on every side — sharded callers supply neighbor-halo
-    rows instead of edge replication)."""
+    Either ref (edge-padded here) or ref_pad padded by `pad` on every
+    side — sharded callers supply neighbor-halo rows instead of edge
+    replication."""
     h, w = cur.shape
     nch, ncw = h // CTB, w // CTB
     rng = SEARCH_RANGE
     if ref_pad is None:
         ref_pad = jnp.pad(ref, rng, mode="edge")
+        pad = rng
+    elif pad is None:
+        pad = rng
     n_off = len(_OFFS)
 
     def one(off_idx, dy, dx):
-        sh = jax.lax.dynamic_slice(ref_pad, (dy + rng, dx + rng), (h, w))
+        sh = jax.lax.dynamic_slice(ref_pad, (dy + pad, dx + pad), (h, w))
         sad = jnp.abs(cur - sh).reshape(nch, CTB, ncw, CTB).sum((1, 3))
         return (sad << 9) | off_idx                   # sad<=65280 fits
 
@@ -211,67 +215,97 @@ def motion_search_dev(cur, ref=None, ref_pad=None):
     return mv                                         # (nch, ncw, 2) f-pel
 
 
-def _mc_luma(ref_pad, mv, h: int, w: int):
-    """Full-pel luma MC from a SEARCH_RANGE-padded reference. Edge
-    padding reproduces the spec's Clip3 on integer sample positions
-    (8.5.4.2.2.1); sharded callers substitute neighbor halo rows."""
-    rng = SEARCH_RANGE
-    dy = jnp.repeat(jnp.repeat(mv[..., 0], CTB, 0), CTB, 1)
-    dx = jnp.repeat(jnp.repeat(mv[..., 1], CTB, 0), CTB, 1)
-    ri = jnp.arange(h)[:, None] + dy + rng
-    ci = jnp.arange(w)[None, :] + dx + rng
-    return ref_pad[ri, ci]
-
-
 CHROMA_PAD = SEARCH_RANGE // 2 + 2
+PLANE_PAD = SEARCH_RANGE + 1     # qpel MVs floor to -(rng+1) integer
+LUMA_SRC_PAD = PLANE_PAD + 4     # 8-tap DCT-IF reaches -3..+4
+
+# sub-pel refinement candidates (must match inter.SUBPEL_OFFS)
+_SUB_DY = np.array([0, 0, 0, -1, 1, -1, -1, 1, 1], np.int32)
+_SUB_DX = np.array([0, -1, 1, 0, 0, -1, 1, -1, 1], np.int32)
 
 
-def _chroma_halfpel_planes(ref_c_pad):
-    """The three half-sample filtered planes of a chroma reference
-    already padded by CHROMA_PAD on every side (4-tap DCT-IF, spec
-    8.5.4.2.2.2). Returns (4, Hc+2p, Wc+2p) planes indexed by
-    (fy//4)*2 + fx//4; integer-position gathers from them reproduce
-    the per-block clipped-patch filtering exactly."""
-    p = ref_c_pad.astype(jnp.int32)
-    t = [int(x) for x in CHROMA_FILTER[4]]
+def _luma_qpel_planes(ref_y_pad):
+    """All 16 (fy, fx) quarter-sample planes from a LUMA_SRC_PAD-
+    padded reference (8-tap DCT-IF, spec 8.5.4.2.2.1; device twin of
+    inter.luma_qpel_planes). Output planes are PLANE_PAD-padded."""
+    from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
-    def filt_h(a):
-        return sum(t[k] * a[:, k:a.shape[1] - 3 + k] for k in range(4))
-
-    def filt_v(a):
-        return sum(t[k] * a[k:a.shape[0] - 3 + k, :] for k in range(4))
-
-    # full-pel (fy=0, fx=0): identity
-    p00 = p
-    # fx=4: horizontal only, (acc + 32) >> 6; patch offset -1
-    ph = filt_h(jnp.pad(p, ((0, 0), (1, 2)), mode="edge"))
-    p01 = jnp.clip((ph + 32) >> 6, 0, 255)
-    # fy=4: vertical only
-    pv = filt_v(jnp.pad(p, ((1, 2), (0, 0)), mode="edge"))
-    p10 = jnp.clip((pv + 32) >> 6, 0, 255)
-    # both: h then v, (acc + 2048) >> 12
-    pp = jnp.pad(p, ((1, 2), (1, 2)), mode="edge")
-    phv = filt_v(filt_h(pp))
-    p11 = jnp.clip((phv + (1 << 11)) >> 12, 0, 255)
-    return jnp.stack([p00, p01, p10, p11])
+    src = ref_y_pad.astype(jnp.int32)
+    hs, ws = src.shape
+    ho = hs - 8
+    wo = ws - 8
+    planes = []
+    for fy in range(4):
+        tv = [int(x) for x in LUMA_FILTER[fy]]
+        for fx in range(4):
+            th = [int(x) for x in LUMA_FILTER[fx]]
+            tmp = sum(th[k] * src[:, 1 + k:1 + k + wo] for k in range(8))
+            acc = sum(tv[k] * tmp[1 + k:1 + k + ho, :] for k in range(8))
+            planes.append(jnp.clip((acc + 2048) >> 12, 0, 255))
+    return jnp.stack(planes)
 
 
-def _mc_chroma(planes, mv_q, hc: int, wc: int):
-    """Chroma MC from the precomputed half-pel planes. mv_q is the
-    luma quarter-pel MV == chroma eighth-pel (spec 8.5.3.2.9); with
-    full-pel luma MVs the fractions are 0 or 4."""
+def _mc_luma_qpel(planes, mv_q, h: int, w: int):
+    """Whole-frame luma MC from the qpel planes (per-CU qpel MVs)."""
+    dyi = jnp.repeat(jnp.repeat(mv_q[..., 0] >> 2, CTB, 0), CTB, 1)
+    dxi = jnp.repeat(jnp.repeat(mv_q[..., 1] >> 2, CTB, 0), CTB, 1)
+    sel = (jnp.repeat(jnp.repeat(mv_q[..., 0] & 3, CTB, 0), CTB, 1) * 4
+           + jnp.repeat(jnp.repeat(mv_q[..., 1] & 3, CTB, 0), CTB, 1))
+    ri = jnp.arange(h)[:, None] + dyi + PLANE_PAD
+    ci = jnp.arange(w)[None, :] + dxi + PLANE_PAD
+    return planes[sel, ri, ci]
+
+
+def _refine_subpel(cur, planes, mv_full, h: int, w: int):
+    """Half- then quarter-pel SAD refinement (device twin of
+    inter.refine_subpel: packed sad|rank keys reproduce the
+    strictly-better / earlier-candidate-wins order)."""
+    nch, ncw = h // CTB, w // CTB
+    mv_q = mv_full * 4
+    for step in (2, 1):
+        def key_of(k):
+            cand = mv_q + jnp.stack(
+                [jnp.full((nch, ncw), _SUB_DY[k] * step, jnp.int32),
+                 jnp.full((nch, ncw), _SUB_DX[k] * step, jnp.int32)],
+                axis=-1)
+            pred = _mc_luma_qpel(planes, cand, h, w)
+            sad = jnp.abs(cur - pred).reshape(nch, CTB, ncw,
+                                              CTB).sum((1, 3))
+            return (sad << 4) | k, cand
+
+        keys, cands = zip(*[key_of(k) for k in range(9)])
+        keys = jnp.stack(keys)                    # (9, nch, ncw)
+        cands = jnp.stack(cands)
+        best = keys.argmin(0)
+        mv_q = jnp.take_along_axis(
+            cands, best[None, ..., None], axis=0)[0]
+    return mv_q
+
+
+def _mc_chroma_qpel(ref_c_pad, mv_q, hc: int, wc: int):
+    """Whole-frame chroma MC for arbitrary luma qpel MVs (eighth-
+    sample chroma, spec 8.5.4.2.2.2): 4x4 tap window with per-CU
+    fraction weights over the CHROMA_PAD-padded plane (device twin of
+    inter.mc_chroma_qpel)."""
     pad = CHROMA_PAD
     n = CTB // 2
-    nch, ncw = hc // n, wc // n
-    dyi = mv_q[..., 0] >> 3
-    dxi = mv_q[..., 1] >> 3
-    sel = ((mv_q[..., 0] >> 2) & 1) * 2 + ((mv_q[..., 1] >> 2) & 1)
-    dyi = jnp.repeat(jnp.repeat(dyi, n, 0), n, 1)
-    dxi = jnp.repeat(jnp.repeat(dxi, n, 0), n, 1)
-    sel = jnp.repeat(jnp.repeat(sel, n, 0), n, 1)
+    p = ref_c_pad.astype(jnp.int32)
+    dyi = jnp.repeat(jnp.repeat(mv_q[..., 0] >> 3, n, 0), n, 1)
+    dxi = jnp.repeat(jnp.repeat(mv_q[..., 1] >> 3, n, 0), n, 1)
+    fy = jnp.repeat(jnp.repeat(mv_q[..., 0] & 7, n, 0), n, 1)
+    fx = jnp.repeat(jnp.repeat(mv_q[..., 1] & 7, n, 0), n, 1)
+    cf = jnp.asarray(CHROMA_FILTER, jnp.int32)
+    ty = cf[fy]                                   # (hc, wc, 4)
+    tx = cf[fx]
     ri = jnp.arange(hc)[:, None] + dyi + pad
     ci = jnp.arange(wc)[None, :] + dxi + pad
-    return planes[sel, ri, ci]
+    acc = jnp.zeros((hc, wc), jnp.int32)
+    for k in range(4):
+        tmp = jnp.zeros((hc, wc), jnp.int32)
+        for m in range(4):
+            tmp += tx[..., m] * p[ri - 1 + k, ci - 1 + m]
+        acc += ty[..., k] * tmp
+    return jnp.clip((acc + 2048) >> 12, 0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -587,7 +621,7 @@ def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
     """P frame core (see encode_frame_p_rows). Single-chip: the
     reference is edge-padded here (== the spec's picture-edge clip);
     sharded callers use _p_frame_core_padded with halo rows instead."""
-    ref_y_pad = jnp.pad(ref_y.astype(jnp.int32), SEARCH_RANGE,
+    ref_y_pad = jnp.pad(ref_y.astype(jnp.int32), LUMA_SRC_PAD,
                         mode="edge")
     ref_u_pad = jnp.pad(jnp.asarray(ref_u), CHROMA_PAD, mode="edge")
     ref_v_pad = jnp.pad(jnp.asarray(ref_v), CHROMA_PAD, mode="edge")
@@ -598,27 +632,25 @@ def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
 def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
                          qp, qp_c):
     """P frame core over pre-padded references: ref_y_pad carries
-    SEARCH_RANGE extra rows/cols, ref_u/v_pad CHROMA_PAD. The pad
+    LUMA_SRC_PAD extra rows/cols, ref_u/v_pad CHROMA_PAD. The pad
     content defines the out-of-band semantics (edge replication on a
     single chip; neighbor halos + edge replication at picture borders
     when row bands are sharded across chips)."""
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
-    ref_y_pad = ref_y_pad.astype(jnp.int32)
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
     hc, wc = h // 2, w // 2
     t16 = jnp.asarray(T16, jnp.int32)
     t8 = jnp.asarray(T8, jnp.int32)
 
-    mv = motion_search_dev(y, ref_pad=ref_y_pad)      # (nch, ncw, 2)
-    mv_q = mv * 4
-    pred_y = _mc_luma(ref_y_pad, mv, h, w)
-    planes_u = _chroma_halfpel_planes(ref_u_pad)
-    planes_v = _chroma_halfpel_planes(ref_v_pad)
-    pred_u = _mc_chroma(planes_u, mv_q, hc, wc)
-    pred_v = _mc_chroma(planes_v, mv_q, hc, wc)
+    planes = _luma_qpel_planes(ref_y_pad)
+    mv = motion_search_dev(y, ref_pad=planes[0], pad=PLANE_PAD)
+    mv_q = _refine_subpel(y, planes, mv, h, w)        # (nch, ncw, 2)
+    pred_y = _mc_luma_qpel(planes, mv_q, h, w)
+    pred_u = _mc_chroma_qpel(ref_u_pad, mv_q, hc, wc)
+    pred_v = _mc_chroma_qpel(ref_v_pad, mv_q, hc, wc)
 
     inter_sad = (jnp.abs(y - pred_y)
                  .reshape(nch, CTB, ncw, CTB).sum((1, 3)))

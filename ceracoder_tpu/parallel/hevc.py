@@ -27,7 +27,7 @@ from jax.sharding import PartitionSpec as P
 from ceracoder_tpu.ops.h265 import (
     CHROMA_PAD,
     CTB,
-    SEARCH_RANGE,
+    LUMA_SRC_PAD,
     _chroma_edge_filter,
     _deblock_axis,
     _edge_bs_dev,
@@ -158,7 +158,7 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
 
     def shard_fn(y, u, v, ry, ru, rv):
         if not idr:
-            ry = _halo_rows(ry.astype(jnp.int32), SEARCH_RANGE, n_rows)
+            ry = _halo_rows(ry.astype(jnp.int32), LUMA_SRC_PAD, n_rows)
             ru = _halo_rows(ru.astype(jnp.int32), CHROMA_PAD, n_rows)
             rv = _halo_rows(rv.astype(jnp.int32), CHROMA_PAD, n_rows)
 
@@ -166,7 +166,7 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
             if idr:
                 outs = _i_frame_core(yb, ub, vb, qp, qp_c)
             else:
-                kp = SEARCH_RANGE
+                kp = LUMA_SRC_PAD
                 kc = CHROMA_PAD
                 ry_pad = jnp.pad(ryb, ((0, 0), (kp, kp)), mode="edge")
                 ru_pad = jnp.pad(rub, ((0, 0), (kc, kc)), mode="edge")

@@ -131,6 +131,36 @@ class TestRowSliceConformance:
         frames = _panning(3, w=88, h=56)
         self._run(frames, 88, 56, tmp_path, "odd")
 
+    def test_subpixel_panning(self, tmp_path):
+        """Non-integer motion (1.25 px/frame horizontal, 0.75
+        vertical) drives the quarter-pel refinement into fractional
+        MVs; the luma 8-tap and chroma 4-tap interpolation must match
+        the oracle decoder exactly."""
+        w, h = 96, 64
+        xx, yy = np.meshgrid(np.arange(w + 32, dtype=float),
+                             np.arange(h + 32, dtype=float))
+        base = (128 + 60 * np.sin(xx / 9.3) * np.cos(yy / 11.7)
+                + 40 * np.sin((xx + yy) / 23.0))
+        frames = []
+        for i in range(5):
+            sx, sy = 8 + 1.25 * i, 8 + 0.75 * i
+            x0, y0 = int(sx), int(sy)
+            fx, fy = sx - x0, sy - y0
+            a = base[y0:y0 + h + 1, x0:x0 + w + 1]
+            y = ((1 - fy) * (1 - fx) * a[:-1, :-1]
+                 + (1 - fy) * fx * a[:-1, 1:]
+                 + fy * (1 - fx) * a[1:, :-1] + fy * fx * a[1:, 1:])
+            y = np.clip(y, 0, 255).astype(np.uint8)
+            frames.append((y, (y[::2, ::2] // 2 + 60).astype(np.uint8),
+                           (y[1::2, 1::2] // 3 + 70).astype(np.uint8)))
+        self._run(frames, w, h, tmp_path, "subpel")
+        # the refinement must actually choose fractional MVs
+        from ceracoder_tpu.codec.h265.rowslice import compute_p_rows
+        from ceracoder_tpu.codec.h265.rowslice import compute_intra_rows
+        _, rec = compute_intra_rows(*frames[0], 30, 29)
+        arr, _ = compute_p_rows(*frames[1], rec, 30, 29)
+        assert (arr["mv"] & 3).any()
+
 
 class TestNativeEntropy:
     """native/src/hevc_entropy.cc must be byte-identical to the
