@@ -56,12 +56,16 @@ def ours_h264(frames, w, h, qp, gop):
     return bs
 
 
-def ours_hevc(frames, w, h, qp):
-    from ceracoder_tpu.codec.h265.encoder import H265IntraEncoder
-    enc = H265IntraEncoder(w, h, qp=qp)
+def ours_hevc(frames, w, h, qp, gop):
+    """Full HEVC path: row-slice I+P GOPs, quarter-pel motion,
+    deblocking, native entropy (the production device pipeline's
+    executable spec)."""
+    from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
+    enc = H265RowEncoder(w, h, qp=qp, gop=gop)
     bs = enc.headers()
     for f in frames:
-        bs += enc.encode_frame(*f)
+        data, _ = enc.encode_frame(*f)
+        bs += data
     return bs
 
 
@@ -175,12 +179,22 @@ def main():
     print(f"mean PSNR delta vs x264-medium: {np.mean(deltas):+.2f} dB")
 
     if args.hevc:
-        for qp in (27, 32, 37):
-            bs = ours_hevc(frames, w, h, qp)
+        hevc_curve = []
+        for qp in (22, 27, 32, 37):
+            bs = ours_hevc(frames, w, h, qp, args.gop)
             kbps, ps = measure(f"hevc_q{qp}", bs, frames, w, h, tmp,
                                seconds)
-            print(f"  ours-hevc-intra qp={qp}: {kbps:8.1f} kbps  "
+            hevc_curve.append((kbps, ps))
+            print(f"  ours-hevc qp={qp}: {kbps:8.1f} kbps  "
                   f"{ps:5.2f} dB")
+        deltas = []
+        for kbps, ps in hevc_curve:
+            ref = interp_psnr(x264_curve, kbps)
+            deltas.append(ps - ref)
+            print(f"  at {kbps:8.1f} kbps: hevc {ps:5.2f} vs x264 "
+                  f"{ref:5.2f} -> delta {ps - ref:+.2f} dB")
+        print(f"mean HEVC PSNR delta vs x264-medium: "
+              f"{np.mean(deltas):+.2f} dB")
     return 0
 
 
