@@ -38,26 +38,37 @@ TC_TABLE = np.array(
                 22, 24], np.int32)
 
 
-def edge_bs(is_intra: np.ndarray, cbf_l: np.ndarray, mv: np.ndarray):
+def edge_bs(is_intra: np.ndarray, cbf_l: np.ndarray, mv: np.ndarray,
+            mv1: np.ndarray | None = None):
     """Boundary strengths for vertical and horizontal CTB edges
     (spec 8.7.2.4). Returns (bs_v (nch, ncw-1), bs_h (nch-1, ncw)).
 
     bs = 2 if either side intra; 1 if either side has nonzero luma
-    coefficients or the MV components differ by >= 4 quarter samples;
-    else 0. (Single reference picture, one MV per side.)
+    coefficients or any MV component differs by >= 4 quarter samples;
+    else 0. P slices: one reference, one MV per side. B slices
+    (mv1 given): every inter CU is bi-predicted from the same two
+    distinct pictures, so the lists compare pairwise.
     """
-    def pair_bs(ia, ib, ca, cb, ma, mb):
+    def pair_bs(ia, ib, ca, cb, ma, mb, m1a=None, m1b=None):
         two = ia | ib
         diff = (np.abs(ma - mb) >= 4).any(-1)
+        if m1a is not None:
+            diff |= (np.abs(m1a - m1b) >= 4).any(-1)
         one = ca | cb | diff
         return np.where(two, 2, np.where(one, 1, 0)).astype(np.int32)
 
+    m1 = (None, None) if mv1 is None else mv1
     bs_v = pair_bs(is_intra[:, :-1], is_intra[:, 1:],
                    cbf_l[:, :-1], cbf_l[:, 1:],
-                   mv[:, :-1], mv[:, 1:])
+                   mv[:, :-1], mv[:, 1:],
+                   *((None, None) if mv1 is None
+                     else (mv1[:, :-1], mv1[:, 1:])))
     bs_h = pair_bs(is_intra[:-1, :], is_intra[1:, :],
                    cbf_l[:-1, :], cbf_l[1:, :],
-                   mv[:-1, :], mv[1:, :])
+                   mv[:-1, :], mv[1:, :],
+                   *((None, None) if mv1 is None
+                     else (mv1[:-1, :], mv1[1:, :])))
+    del m1
     return bs_v, bs_h
 
 
@@ -170,16 +181,17 @@ def _filter_chroma_lines(p: np.ndarray, q: np.ndarray, bs: np.ndarray,
     return out_p, out_q
 
 
-def deblock_frame(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp: int):
+def deblock_frame(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp: int,
+                  mv1=None):
     """Deblock one reconstructed picture in place semantics (returns
     new arrays). Planes are CTB-aligned int arrays; is_intra/cbf_l/mv
-    are the per-CTB arrays of the frame."""
+    (+ mv1 for B frames) are the per-CTB arrays of the frame."""
     y = rec_y.astype(np.int32).copy()
     u = rec_u.astype(np.int32).copy()
     v = rec_v.astype(np.int32).copy()
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
-    bs_v, bs_h = edge_bs(is_intra, cbf_l, mv)
+    bs_v, bs_h = edge_bs(is_intra, cbf_l, mv, mv1)
 
     # --- vertical edges (filter across columns), whole picture first
     for k in range(1, ncw):

@@ -45,7 +45,7 @@ class H265DeviceEncoder:
 
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
-                 deblock: bool = True):
+                 deblock: bool = True, bframes: int = 0):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -53,12 +53,16 @@ class H265DeviceEncoder:
         self.gop = max(1, gop)
         self.native_entropy = native_entropy
         self.deblock = deblock
+        self.bframes = 1 if bframes else 0
         self._chroma_qp = chroma_qp
         self.params = HevcParams(width=width, height=height, qp=qp,
-                                 pcm_enabled=False, deblock=deblock)
+                                 pcm_enabled=False, deblock=deblock,
+                                 max_reorder=self.bframes,
+                                 max_dpb_minus1=1 + self.bframes)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None              # device recon planes
+        self._pending = None          # buffered B candidate
         self._poc = 0
 
     def headers(self) -> bytes:
@@ -75,10 +79,106 @@ class H265DeviceEncoder:
 
     def encode_frame(self, y, u, v, qp: int | None = None,
                      force_idr: bool = False) -> EncodedFrame:
+        assert self.bframes == 0, "use push_frame/flush with B frames"
         return self.encode_frame_async(y, u, v, qp, force_idr).result()
+
+    # -- B-frame (IBPBP) entry points -----------------------------------
+    def push_frame(self, y, u, v, qp: int | None = None,
+                   force_idr: bool = False):
+        """Feed one display-order frame (bframes == 1); returns
+        (data, poc, kind, display_recon_dev) tuples in coding order."""
+        qp = self.qp if qp is None else qp
+        idr = force_idr or self._ref is None or self._poc >= self.gop
+        out = []
+        if idr:
+            out += self.flush()
+            fr = self.encode_frame_async(y, u, v, qp=qp,
+                                         force_idr=True).result()
+            out.append((fr.data, 0, "I", self._ref))
+            return out
+        if self.bframes and self._pending is None:
+            self._pending = ((y, u, v), self._poc, qp)
+            self._poc += 1
+            return out
+        if self._pending is not None:
+            bplanes, bpoc, bqp = self._pending
+            self._pending = None
+            past = self._ref
+            fr = self._encode_px(y, u, v, qp, poc=self._poc,
+                                 ref_delta=2)
+            out.append((fr.data, self._poc, "P", self._ref))
+            out.append(self._encode_b(bplanes, past, self._ref, bpoc,
+                                      bqp))
+            self._poc += 1
+            return out
+        fr = self._encode_px(y, u, v, qp, poc=self._poc, ref_delta=1)
+        out.append((fr.data, self._poc, "P", self._ref))
+        self._poc += 1
+        return out
+
+    def flush(self):
+        """Code any buffered B candidate as a trailing P frame."""
+        if self._pending is None:
+            return []
+        (y, u, v), poc, qp = self._pending
+        self._pending = None
+        fr = self._encode_px(y, u, v, qp, poc=poc, ref_delta=1)
+        # _poc already advanced when the frame was buffered
+        return [(fr.data, poc, "P", self._ref)]
+
+    def _encode_px(self, y, u, v, qp, poc: int,
+                   ref_delta: int) -> EncodedFrame:
+        """P frame at an explicit POC/ref distance (B-GOP path)."""
+        fr = self._dispatch(y, u, v, qp, self._chroma_qp(qp),
+                            idr=False, poc=poc, ref_delta=ref_delta)
+        return fr.result()
+
+    def _encode_b(self, planes, past, fut, poc: int, qp: int):
+        import jax
+
+        from ceracoder_tpu.ops.h265 import (
+            deblock_frame_dev,
+            encode_frame_b_rows,
+        )
+
+        qp_c = self._chroma_qp(qp)
+        y, u, v = planes
+        yj = self._pad_dev(y, self.ph, self.pw)
+        uj = self._pad_dev(u, self.ph // 2, self.pw // 2)
+        vj = self._pad_dev(v, self.ph // 2, self.pw // 2)
+        outs = encode_frame_b_rows(yj, uj, vj, *past, *fut, qp, qp_c)
+        rec = outs["recon"]
+        if self.deblock:
+            cbf_l = outs["luma_lv"].reshape(
+                *outs["luma_lv"].shape[:2], -1).any(-1)
+            rec = jax.jit(deblock_frame_dev)(
+                *outs["recon"], outs["is_intra"], cbf_l, outs["mv"],
+                qp, outs["mv1"])
+        arrays = {k: np.asarray(outs[k]) for k in
+                  ("is_intra", "mode", "mv", "mv1", "luma_lv",
+                   "cb_lv", "cr_lv")}
+        rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
+                              slice_type="B")
+        from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
+        data = b"".join(nal_unit(NAL_TRAIL_N, r,
+                                 long_start_code=(i == 0))
+                        for i, r in enumerate(rbsps))
+        return (data, poc, "B", rec)
 
     def encode_frame_async(self, y, u, v, qp: int | None = None,
                            force_idr: bool = False) -> PendingFrame:
+        qp = self.qp if qp is None else qp
+        qp_c = self._chroma_qp(qp)
+        idr = force_idr or self._ref is None or self._poc >= self.gop
+        poc = 0 if idr else self._poc
+        if idr:
+            self._poc = 1
+        else:
+            self._poc += 1
+        return self._dispatch(y, u, v, qp, qp_c, idr, poc, ref_delta=1)
+
+    def _dispatch(self, y, u, v, qp, qp_c, idr: bool, poc: int,
+                  ref_delta: int) -> PendingFrame:
         import jax.numpy as jnp
 
         from ceracoder_tpu.ops.h265 import (
@@ -86,21 +186,14 @@ class H265DeviceEncoder:
             encode_frame_p_rows,
         )
 
-        qp = self.qp if qp is None else qp
-        qp_c = self._chroma_qp(qp)
-        idr = force_idr or self._ref is None or self._poc >= self.gop
-        poc = 0 if idr else self._poc
-
         yj = self._pad_dev(y, self.ph, self.pw)
         uj = self._pad_dev(u, self.ph // 2, self.pw // 2)
         vj = self._pad_dev(v, self.ph // 2, self.pw // 2)
 
         if idr:
             outs = encode_frame_i_rows(yj, uj, vj, qp, qp_c)
-            self._poc = 1
         else:
             outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp, qp_c)
-            self._poc += 1
         if self.deblock:
             import jax
 
@@ -131,7 +224,8 @@ class H265DeviceEncoder:
 
         def finish() -> EncodedFrame:
             arrays = {k: np.asarray(a) for k, a in send.items()}
-            rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
+            rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp,
+                                  ref_delta=ref_delta)
             ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
             data = b"".join(
                 nal_unit(ntype, r, long_start_code=(i == 0))
@@ -317,10 +411,15 @@ class H265DeviceEncoder:
                 ru[:self.height // 2, :self.width // 2],
                 rv[:self.height // 2, :self.width // 2])
 
-    def _entropy(self, arrays, idr: bool, poc: int, qp: int):
+    def _entropy(self, arrays, idr: bool, poc: int, qp: int,
+                 ref_delta: int = 1, slice_type: str | None = None):
         if self.native_entropy:
             rbsps = entropy_rows_native(self.params, arrays, qp,
-                                        idr=idr, poc=poc)
+                                        idr=idr, poc=poc,
+                                        ref_poc_delta=ref_delta,
+                                        slice_type=slice_type)
             if rbsps is not None:
                 return rbsps
-        return entropy_rows(self.params, arrays, qp, idr=idr, poc=poc)
+        return entropy_rows(self.params, arrays, qp, idr=idr, poc=poc,
+                            ref_poc_delta=ref_delta,
+                            slice_type=slice_type)

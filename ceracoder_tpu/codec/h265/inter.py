@@ -201,6 +201,79 @@ def luma_qpel_planes(ref_y: np.ndarray) -> np.ndarray:
     return planes
 
 
+def luma_qpel_planes14(ref_y: np.ndarray) -> np.ndarray:
+    """14-bit intermediate qpel planes (predSampleLX before the final
+    rounding, spec 8.5.4.2.2.1) for bi-prediction: plane14 = acc >> 6
+    under the same unified ladder (full-pel == sample << 6). The
+    8-bit uni-pred planes are Clip((plane14 + 32) >> 6)."""
+    from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
+
+    h, w = ref_y.shape
+    pp = PLANE_PAD
+    src = np.pad(ref_y, LUMA_SRC_PAD, mode="edge").astype(np.int64)
+    wo = w + 2 * pp
+    ho = h + 2 * pp
+    planes = np.empty((16, ho, wo), np.int32)
+    for fx in range(4):
+        taps = LUMA_FILTER[fx].astype(np.int64)
+        tmp = sum(int(taps[k]) * src[:, 1 + k:1 + k + wo]
+                  for k in range(8))
+        for fy in range(4):
+            tv = LUMA_FILTER[fy].astype(np.int64)
+            acc = sum(int(tv[k]) * tmp[1 + k:1 + k + ho, :]
+                      for k in range(8))
+            planes[fy * 4 + fx] = acc >> 6
+    return planes
+
+
+def mc_chroma_qpel14(ref_c: np.ndarray, mv_q: np.ndarray,
+                     hc: int, wc: int) -> np.ndarray:
+    """14-bit chroma MC intermediates (spec 8.5.4.2.2.2) for
+    bi-prediction: acc >> 6 under the unified 4x4 ladder."""
+    n = 8
+    pad = SEARCH_RANGE // 2 + 2
+    p = np.pad(ref_c, pad, mode="edge").astype(np.int64)
+    dyi = np.repeat(np.repeat(mv_q[..., 0] >> 3, n, 0), n, 1)
+    dxi = np.repeat(np.repeat(mv_q[..., 1] >> 3, n, 0), n, 1)
+    fy = np.repeat(np.repeat(mv_q[..., 0] & 7, n, 0), n, 1)
+    fx = np.repeat(np.repeat(mv_q[..., 1] & 7, n, 0), n, 1)
+    ty = CHROMA_FILTER[fy].astype(np.int64)
+    tx = CHROMA_FILTER[fx].astype(np.int64)
+    ri = np.arange(hc)[:, None] + dyi + pad
+    ci = np.arange(wc)[None, :] + dxi + pad
+    acc = np.zeros((hc, wc), np.int64)
+    for k in range(4):
+        tmp = np.zeros((hc, wc), np.int64)
+        for m in range(4):
+            tmp += tx[..., m] * p[ri - 1 + k, ci - 1 + m]
+        acc += ty[..., k] * tmp
+    return (acc >> 6).astype(np.int32)
+
+
+def mc_luma_qpel14(planes14: np.ndarray, mv_q: np.ndarray,
+                   h: int, w: int) -> np.ndarray:
+    """Whole-frame 14-bit luma MC from the intermediate planes."""
+    n = 16
+    dyi = np.repeat(np.repeat(mv_q[..., 0] >> 2, n, 0), n, 1)
+    dxi = np.repeat(np.repeat(mv_q[..., 1] >> 2, n, 0), n, 1)
+    sel = (np.repeat(np.repeat(mv_q[..., 0] & 3, n, 0), n, 1) * 4
+           + np.repeat(np.repeat(mv_q[..., 1] & 3, n, 0), n, 1))
+    ri = np.arange(h)[:, None] + dyi + PLANE_PAD
+    ci = np.arange(w)[None, :] + dxi + PLANE_PAD
+    return planes14[sel, ri, ci].astype(np.int32)
+
+
+def bi_combine_frame(p0_14: np.ndarray, p1_14: np.ndarray) -> np.ndarray:
+    """Default bi-prediction combine (spec 8.5.4.2.3.2, 8-bit)."""
+    return np.clip((p0_14.astype(np.int64) + p1_14 + 64) >> 7,
+                   0, 255).astype(np.int32)
+
+
+def uni_from_14(p14: np.ndarray) -> np.ndarray:
+    """8-bit uni-prediction samples from the 14-bit intermediates."""
+    return np.clip((p14 + 32) >> 6, 0, 255).astype(np.int32)
+
+
 def mc_luma_qpel(planes: np.ndarray, mv_q: np.ndarray,
                  h: int, w: int) -> np.ndarray:
     """Whole-frame luma MC from the qpel planes; mv_q (nch, ncw, 2)

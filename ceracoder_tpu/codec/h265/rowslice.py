@@ -34,12 +34,17 @@ from ceracoder_tpu.codec.h265.cabac import CabacEncoder
 from ceracoder_tpu.codec.h265.ctx_tables import build_slice_contexts
 from ceracoder_tpu.codec.h265.encoder import _mpm_list, _pad
 from ceracoder_tpu.codec.h265.inter import (
+    bi_combine_frame,
     encode_mvd,
     luma_qpel_planes,
+    luma_qpel_planes14,
     mc_chroma_qpel,
+    mc_chroma_qpel14,
     mc_luma_qpel,
+    mc_luma_qpel14,
     motion_search,
     refine_subpel,
+    uni_from_14,
 )
 from ceracoder_tpu.codec.h265.residual import encode_residual
 from ceracoder_tpu.codec.h265.syntax import (
@@ -218,6 +223,90 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
     return arrays, (rec_y, rec_u, rec_v)
 
 
+def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
+    """Numpy reference of the device B op: every inter CU bi-predicted
+    (list 0 = past reference, list 1 = future), per-list quarter-pel
+    motion, 14-bit intermediate combine (spec 8.5.4.2.3.2), per-CTB
+    intra fallback. Adds ``mv1`` to the arrays."""
+    y = np.asarray(y).astype(np.int32)
+    u = np.asarray(u).astype(np.int32)
+    v = np.asarray(v).astype(np.int32)
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    rec_y = np.zeros_like(y)
+    rec_u = np.zeros_like(u)
+    rec_v = np.zeros_like(v)
+    is_intra = np.zeros((nch, ncw), bool)
+    mode = np.zeros((nch, ncw), np.int32)
+    mv0 = np.zeros((nch, ncw, 2), np.int32)
+    mv1 = np.zeros((nch, ncw, 2), np.int32)
+    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
+    cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+    cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+
+    p14 = [luma_qpel_planes14(r[0]) for r in (ref0, ref1)]
+    mvq = []
+    for r, pl in zip((ref0, ref1), p14):
+        full = motion_search(y, r[0])
+        mvq.append(refine_subpel(y, uni_from_14(pl), full))
+    pred_y_all = bi_combine_frame(
+        mc_luma_qpel14(p14[0], mvq[0], h, w),
+        mc_luma_qpel14(p14[1], mvq[1], h, w))
+    hc, wc = h // 2, w // 2
+    pred_u_all = bi_combine_frame(
+        mc_chroma_qpel14(ref0[1], mvq[0], hc, wc),
+        mc_chroma_qpel14(ref1[1], mvq[1], hc, wc))
+    pred_v_all = bi_combine_frame(
+        mc_chroma_qpel14(ref0[2], mvq[0], hc, wc),
+        mc_chroma_qpel14(ref1[2], mvq[1], hc, wc))
+
+    for cy in range(nch):
+        for cx in range(ncw):
+            x0, y0 = cx * CTB, cy * CTB
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
+            inter_sad = int(np.abs(src - pred_y).sum())
+            lref = _ref_samples_row(rec_y, x0, y0, CTB)
+            ibest, ipred, isad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, CTB, 0)
+                sad = int(np.abs(src - pr).sum())
+                if sad < isad:
+                    ibest, ipred, isad = m, pr, sad
+            nc = CTB // 2
+            cx0, cy0 = x0 // 2, y0 // 2
+            if isad * INTRA_BIAS_DEN < inter_sad * INTRA_BIAS_NUM:
+                is_intra[cy, cx] = True
+                mode[cy, cx] = ibest
+                _, luma_lv[cy, cx] = _code_tu_pred(
+                    src, rec_y, ipred, x0, y0, qp)
+                for plane, recp, out in ((u, rec_u, cb_lv),
+                                         (v, rec_v, cr_lv)):
+                    cref = _ref_samples_row(recp, cx0, cy0, nc)
+                    pr = I.predict(ibest, *cref, nc, 1)
+                    src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
+                    _, out[cy, cx] = _code_tu_pred(
+                        src_c, recp, pr, cx0, cy0, qp_c)
+            else:
+                mv0[cy, cx] = mvq[0][cy, cx]
+                mv1[cy, cx] = mvq[1][cy, cx]
+                _, luma_lv[cy, cx] = _code_tu_pred(
+                    src, rec_y, pred_y, x0, y0, qp)
+                _, cb_lv[cy, cx] = _code_tu_pred(
+                    u[cy0:cy0 + nc, cx0:cx0 + nc], rec_u,
+                    pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                    cx0, cy0, qp_c)
+                _, cr_lv[cy, cx] = _code_tu_pred(
+                    v[cy0:cy0 + nc, cx0:cx0 + nc], rec_v,
+                    pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                    cx0, cy0, qp_c)
+
+    arrays = {"is_intra": is_intra, "mode": mode, "mv": mv0,
+              "mv1": mv1, "luma_lv": luma_lv, "cb_lv": cb_lv,
+              "cr_lv": cr_lv}
+    return arrays, (rec_y, rec_u, rec_v)
+
+
 def densify_levels(counts: np.ndarray, pos: np.ndarray,
                    val: np.ndarray) -> dict:
     """Rebuild dense per-CTB level arrays from the device's sparse
@@ -246,23 +335,33 @@ def densify_levels(counts: np.ndarray, pos: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
-                 poc: int = 0, ref_poc_delta: int = 1) -> list[bytes]:
+                 poc: int = 0, ref_poc_delta: int = 1,
+                 slice_type: str | None = None,
+                 fwd_poc_delta: int = 1) -> list[bytes]:
     """Encode every CTB row as an independent slice segment; returns
     per-row RBSP bytes (caller wraps in NAL units). All syntax-level
     decisions (MPM, cbf, skip/merge/AMVP) are derived here from the
-    flat arrays, exactly as the C++ stage derives them."""
+    flat arrays, exactly as the C++ stage derives them. B slices
+    (slice_type="B", arrays carry ``mv1``) code every inter CU
+    bi-predicted (inter_pred_idc = PRED_BI, dual AMVP/MVD); merge and
+    skip compare the full (mv0, mv1) motion."""
     is_intra = arrays["is_intra"]
     mode = arrays["mode"]
     mv = arrays["mv"]
     luma_lv = arrays["luma_lv"]
     cb_lv = arrays["cb_lv"]
     cr_lv = arrays["cr_lv"]
+    st = slice_type or ("I" if idr else "P")
+    is_b = st == "B"
+    mv1 = arrays["mv1"] if is_b else None
     nch, ncw = is_intra.shape
-    init_type = 0 if idr else 1
+    init_type = 0 if idr else (2 if is_b else 1)
     out = []
     for cy in range(nch):
         hdr = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
                                 ref_poc_delta=ref_poc_delta,
+                                slice_type=None if idr else st,
+                                fwd_poc_delta=fwd_poc_delta,
                                 ctb_addr=cy * ncw)
         enc = CabacEncoder()
         hv, hl = hdr.arrays()
@@ -273,7 +372,7 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
         left_mode = I.DC          # MPM A candidate (DC if unavailable)
         left_is_intra = False
         left_is_inter = False
-        left_mv = (0, 0)
+        left_mv = ((0, 0), (0, 0))    # per list
         left_skip = False
         for cx in range(ncw):
             intra_cu = bool(is_intra[cy, cx])
@@ -285,12 +384,13 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
             if not idr:
                 # merge candidates: A1 = left CU if inter (same
                 # slice); all B candidates are above the row ->
-                # unavailable; zero-MV fill to MaxNumMergeCand = 2
+                # unavailable; zero-MV fill to MaxNumMergeCand = 2.
+                # A candidate is its full motion (both lists in B).
                 merge = []
                 if left_is_inter:
                     merge.append(left_mv)
                 while len(merge) < 2:
-                    merge.append((0, 0))
+                    merge.append(((0, 0), (0, 0)))
 
             if intra_cu:
                 if not idr:
@@ -325,9 +425,11 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
                 left_is_inter = False
                 left_skip = False
             else:
-                mv_q = (int(mv[cy, cx, 0]), int(mv[cy, cx, 1]))
+                cu_mv = ((int(mv[cy, cx, 0]), int(mv[cy, cx, 1])),
+                         (int(mv1[cy, cx, 0]), int(mv1[cy, cx, 1]))
+                         if is_b else (0, 0))
                 try:
-                    merge_idx = merge.index(mv_q)
+                    merge_idx = merge.index(cu_mv)
                 except ValueError:
                     merge_idx = -1
                 skip_ctx = off["skip"] + (1 if left_skip else 0)
@@ -344,17 +446,28 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
                         enc.encode_bin(ctx, off["merge_idx"], merge_idx)
                     else:
                         enc.encode_bin(ctx, off["merge_flag"], 0)
-                        # AMVP: A = left inter CU's MV else zero;
-                        # B candidates unavailable (above the row)
-                        amvp = ([left_mv] if left_is_inter else [(0, 0)])
-                        amvp.append((0, 0))
-                        costs = [abs(mv_q[0] - c[0]) + abs(mv_q[1] - c[1])
-                                 for c in amvp]
-                        mvp_idx = 0 if costs[0] <= costs[1] else 1
-                        mvp = amvp[mvp_idx]
-                        encode_mvd(enc, ctx, off,
-                                   mv_q[1] - mvp[1], mv_q[0] - mvp[0])
-                        enc.encode_bin(ctx, off["mvp_flag"], mvp_idx)
+                        if is_b:
+                            # inter_pred_idc = PRED_BI: one bin, ctx
+                            # by coding-tree depth (0)
+                            enc.encode_bin(
+                                ctx, off["inter_pred_idc"], 1)
+                        n_lists = 2 if is_b else 1
+                        for lx in range(n_lists):
+                            mv_q = cu_mv[lx]
+                            # AMVP: A = left inter CU's list-lx MV
+                            amvp = ([left_mv[lx]] if left_is_inter
+                                    else [(0, 0)])
+                            amvp.append((0, 0))
+                            costs = [abs(mv_q[0] - c[0])
+                                     + abs(mv_q[1] - c[1])
+                                     for c in amvp]
+                            mvp_idx = 0 if costs[0] <= costs[1] else 1
+                            mvp = amvp[mvp_idx]
+                            encode_mvd(enc, ctx, off,
+                                       mv_q[1] - mvp[1],
+                                       mv_q[0] - mvp[0])
+                            enc.encode_bin(ctx, off["mvp_flag"],
+                                           mvp_idx)
                         enc.encode_bin(ctx, off["rqt_root_cbf"],
                                        1 if any_cbf else 0)
                     if any_cbf:
@@ -375,7 +488,7 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
                     left_skip = False
                 left_is_intra = False
                 left_is_inter = True
-                left_mv = mv_q
+                left_mv = cu_mv
             enc.encode_terminate(1 if cx == ncw - 1 else 0)
         enc.finish()
         enc.align_one()
@@ -395,9 +508,11 @@ _NATIVE_OFF_ORDER = (
 
 def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
                         poc: int = 0, ref_poc_delta: int = 1,
+                        slice_type: str | None = None,
                         n_threads: int = 0) -> list[bytes] | None:
     """Native (C++) entropy stage; byte-identical to entropy_rows.
-    Returns None when the native library is unavailable."""
+    Returns None when the native library is unavailable (callers fall
+    back to the Python spec)."""
     import ctypes
     import os
 
@@ -406,10 +521,13 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     lib = native.load()
     if lib is None or not hasattr(lib, "hevc_entropy_rows"):
         return None
+    is_b = (slice_type or ("I" if idr else "P")) == "B"
 
     is_intra = np.ascontiguousarray(arrays["is_intra"], np.uint8)
     mode = np.ascontiguousarray(arrays["mode"], np.int32)
     mv = np.ascontiguousarray(arrays["mv"], np.int32)
+    mv1 = np.ascontiguousarray(
+        arrays.get("mv1", np.zeros_like(mv)), np.int32)
     luma_lv = np.ascontiguousarray(arrays["luma_lv"], np.int16)
     cb_lv = np.ascontiguousarray(arrays["cb_lv"], np.int16)
     cr_lv = np.ascontiguousarray(arrays["cr_lv"], np.int16)
@@ -420,6 +538,7 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     for cy in range(nch):
         hw = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
                                ref_poc_delta=ref_poc_delta,
+                               slice_type=None if idr else slice_type,
                                ctb_addr=cy * ncw)
         hdrs.append((hw.to_bytes(), hw.bit_length))
     stride = max(len(b) for b, _ in hdrs)
@@ -429,7 +548,8 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
         hdr_bytes[cy, :len(b)] = np.frombuffer(b, np.uint8)
         hdr_bits[cy] = nb
 
-    ctx, off = build_slice_contexts(qp, init_type=0 if idr else 1)
+    init_type = 0 if idr else (2 if is_b else 1)
+    ctx, off = build_slice_contexts(qp, init_type=init_type)
     offs = np.array([off[k] for k in _NATIVE_OFF_ORDER], np.int32)
 
     cap = max(1 << 16, nch * ncw * 768 + nch * (stride + 16))
@@ -437,7 +557,7 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     row_sizes = np.zeros(nch, np.int32)
     nt = n_threads or min(nch, os.cpu_count() or 1)
     total = lib.hevc_entropy_rows(
-        nch, ncw, int(idr),
+        nch, ncw, int(idr), int(is_b),
         hdr_bytes.ctypes.data_as(ctypes.c_void_p),
         hdr_bits.ctypes.data_as(ctypes.c_void_p), stride,
         ctx.ctypes.data_as(ctypes.c_void_p), len(ctx),
@@ -445,6 +565,7 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
         is_intra.ctypes.data_as(ctypes.c_void_p),
         mode.ctypes.data_as(ctypes.c_void_p),
         mv.ctypes.data_as(ctypes.c_void_p),
+        mv1.ctypes.data_as(ctypes.c_void_p),
         luma_lv.ctypes.data_as(ctypes.c_void_p),
         cb_lv.ctypes.data_as(ctypes.c_void_p),
         cr_lv.ctypes.data_as(ctypes.c_void_p),
@@ -466,13 +587,14 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
 # ---------------------------------------------------------------------------
 
 class H265RowEncoder:
-    """Row-slice HEVC encoder: IDR + low-delay P GOPs, numpy compute +
-    Python entropy. The slow-but-exact reference for the device
-    encoder; also its overflow/no-native fallback."""
+    """Row-slice HEVC encoder: IDR + P GOPs (optional IBPBP with one
+    non-reference B between references), numpy compute + Python
+    entropy. The slow-but-exact reference for the device encoder;
+    also its overflow/no-native fallback."""
 
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
-                 deblock: bool = True):
+                 deblock: bool = True, bframes: int = 0):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -480,11 +602,15 @@ class H265RowEncoder:
         self.gop = max(1, gop)
         self.native_entropy = native_entropy
         self.deblock = deblock
+        self.bframes = 1 if bframes else 0
         self.params = HevcParams(width=width, height=height, qp=qp,
-                                 pcm_enabled=False, deblock=deblock)
+                                 pcm_enabled=False, deblock=deblock,
+                                 max_reorder=self.bframes,
+                                 max_dpb_minus1=1 + self.bframes)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None
+        self._pending = None      # buffered B candidate (planes, poc)
         self._poc = 0
         self.recon = None
 
@@ -492,50 +618,135 @@ class H265RowEncoder:
         p = self.params
         return write_vps(p) + write_sps(p) + write_pps(p)
 
+    def _pad3(self, y, u, v):
+        return (_pad(np.asarray(y), self.ph, self.pw),
+                _pad(np.asarray(u), self.ph // 2, self.pw // 2),
+                _pad(np.asarray(v), self.ph // 2, self.pw // 2))
+
+    def _deblocked(self, arrays, rec):
+        from ceracoder_tpu.codec.h265.deblock import deblock_frame
+        cbf_l = arrays["luma_lv"].reshape(
+            *arrays["luma_lv"].shape[:2], -1).any(-1)
+        return deblock_frame(*rec, arrays["is_intra"], cbf_l,
+                             arrays["mv"], self.qp,
+                             mv1=arrays.get("mv1"))
+
+    def _crop(self, rec):
+        return (rec[0][:self.height, :self.width].astype(np.uint8),
+                rec[1][:self.height // 2, :self.width // 2]
+                .astype(np.uint8),
+                rec[2][:self.height // 2, :self.width // 2]
+                .astype(np.uint8))
+
+    def _wrap(self, ntype, rbsps):
+        return b"".join(nal_unit(ntype, r, long_start_code=(i == 0))
+                        for i, r in enumerate(rbsps))
+
     def encode_frame(self, y, u, v, qp: int | None = None,
                      force_idr: bool = False):
+        """Low-delay entry (bframes == 0): one frame in, one out."""
+        assert self.bframes == 0, "use push_frame/flush with B frames"
+        (data, _, kind, _), = self.push_frame(y, u, v, qp=qp,
+                                              force_idr=force_idr)
+        return data, kind == "I"
+
+    def push_frame(self, y, u, v, qp: int | None = None,
+                   force_idr: bool = False):
+        """Feed one display-order frame; returns (data, poc, kind,
+        display_recon) tuples in coding order (empty while a B
+        candidate waits for its forward reference)."""
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         if qp is not None:
             self.qp, self.qp_c = qp, chroma_qp(qp)
-        y = _pad(np.asarray(y), self.ph, self.pw)
-        u = _pad(np.asarray(u), self.ph // 2, self.pw // 2)
-        v = _pad(np.asarray(v), self.ph // 2, self.pw // 2)
+        planes = self._pad3(y, u, v)
 
         idr = force_idr or self._ref is None or self._poc >= self.gop
+        out = []
         if idr:
-            arrays, rec = compute_intra_rows(y, u, v, self.qp, self.qp_c)
+            out += self.flush()
+            arrays, rec = compute_intra_rows(*planes, self.qp, self.qp_c)
             rbsps = self._entropy(arrays, idr=True, poc=0)
-            ntype = NAL_IDR_W_RADL
+            if self.deblock:
+                rec = self._deblocked(arrays, rec)
+            self._ref = rec
+            self.recon = self._crop(rec)
             self._poc = 1
-        else:
-            arrays, rec = compute_p_rows(y, u, v, self._ref,
-                                         self.qp, self.qp_c)
-            rbsps = self._entropy(arrays, idr=False, poc=self._poc)
-            ntype = NAL_TRAIL_R
-            self._poc += 1
-        if self.deblock:
-            from ceracoder_tpu.codec.h265.deblock import deblock_frame
-            cbf_l = arrays["luma_lv"].reshape(
-                *arrays["luma_lv"].shape[:2], -1).any(-1)
-            rec = deblock_frame(*rec, arrays["is_intra"], cbf_l,
-                                arrays["mv"], self.qp)
-        self._ref = rec
-        self.recon = (rec[0][:self.height, :self.width].astype(np.uint8),
-                      rec[1][:self.height // 2, :self.width // 2]
-                      .astype(np.uint8),
-                      rec[2][:self.height // 2, :self.width // 2]
-                      .astype(np.uint8))
-        data = b"".join(
-            nal_unit(ntype, r, long_start_code=(i == 0))
-            for i, r in enumerate(rbsps))
-        return data, idr
+            out.append((self._wrap(NAL_IDR_W_RADL, rbsps), 0, "I",
+                        self.recon))
+            return out
 
-    def _entropy(self, arrays: dict, idr: bool, poc: int) -> list[bytes]:
+        if self.bframes and self._pending is None:
+            self._pending = (planes, self._poc, self.qp, self.qp_c)
+            self._poc += 1
+            return out
+
+        if self._pending is not None:
+            bplanes, bpoc, bqp, bqp_c = self._pending
+            self._pending = None
+            past = self._ref
+            out.append(self._encode_p(planes, poc=self._poc,
+                                      ref_delta=2))
+            p_rec = self._ref
+            out.append(self._encode_b(bplanes, past, p_rec, bpoc,
+                                      bqp, bqp_c))
+            self._ref = p_rec
+            self.recon = out[0][3]
+            self._poc += 1
+            return out
+
+        out.append(self._encode_p(planes, poc=self._poc, ref_delta=1))
+        self._poc += 1
+        return out
+
+    def flush(self):
+        """Code any buffered B candidate as a trailing P frame."""
+        if self._pending is None:
+            return []
+        planes, poc, qp, qp_c = self._pending
+        self._pending = None
+        sq, sqc = self.qp, self.qp_c
+        self.qp, self.qp_c = qp, qp_c
+        res = self._encode_p(planes, poc=poc, ref_delta=1)
+        self.qp, self.qp_c = sq, sqc
+        return [res]
+
+    def _encode_p(self, planes, poc: int, ref_delta: int):
+        arrays, rec = compute_p_rows(*planes, self._ref,
+                                     self.qp, self.qp_c)
+        rbsps = self._entropy(arrays, idr=False, poc=poc,
+                              ref_poc_delta=ref_delta)
+        if self.deblock:
+            rec = self._deblocked(arrays, rec)
+        self._ref = rec
+        self.recon = self._crop(rec)
+        return (self._wrap(NAL_TRAIL_R, rbsps), poc, "P", self.recon)
+
+    def _encode_b(self, planes, past, fut, poc: int, qp: int,
+                  qp_c: int):
+        from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
+
+        arrays, rec = compute_b_rows(*planes, past, fut, qp, qp_c)
+        rbsps = self._entropy(arrays, idr=False, poc=poc,
+                              slice_type="B", qp_override=qp)
+        if self.deblock:
+            sq = self.qp
+            self.qp = qp
+            rec = self._deblocked(arrays, rec)
+            self.qp = sq
+        return (self._wrap(NAL_TRAIL_N, rbsps), poc, "B",
+                self._crop(rec))
+
+    def _entropy(self, arrays: dict, idr: bool, poc: int,
+                 ref_poc_delta: int = 1, slice_type: str | None = None,
+                 qp_override: int | None = None) -> list[bytes]:
+        qp = self.qp if qp_override is None else qp_override
         if self.native_entropy:
-            rbsps = entropy_rows_native(self.params, arrays, self.qp,
-                                        idr=idr, poc=poc)
+            rbsps = entropy_rows_native(
+                self.params, arrays, qp, idr=idr, poc=poc,
+                ref_poc_delta=ref_poc_delta, slice_type=slice_type)
             if rbsps is not None:
                 return rbsps
-        return entropy_rows(self.params, arrays, self.qp, idr=idr,
-                            poc=poc)
+        return entropy_rows(self.params, arrays, qp, idr=idr, poc=poc,
+                            ref_poc_delta=ref_poc_delta,
+                            slice_type=slice_type)

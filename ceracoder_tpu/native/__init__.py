@@ -170,11 +170,13 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.hevc_entropy_rows.restype = ctypes.c_int64
     lib.hevc_entropy_rows.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,      # nch, ncw, idr
+        ctypes.c_int, ctypes.c_int,                    # nch, ncw
+        ctypes.c_int, ctypes.c_int,                    # idr, is_b
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # hdr b/bits/stride
         ctypes.c_void_p, ctypes.c_int,                 # ctx_init, n_ctx
         ctypes.c_void_p,                               # offsets
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # intra/mode/mv
+        ctypes.c_void_p, ctypes.c_void_p,              # intra/mode
+        ctypes.c_void_p, ctypes.c_void_p,              # mv, mv1
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # levels y/cb/cr
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # out/cap/sizes
         ctypes.c_int,                                  # n_threads

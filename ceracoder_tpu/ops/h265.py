@@ -224,10 +224,12 @@ _SUB_DY = np.array([0, 0, 0, -1, 1, -1, -1, 1, 1], np.int32)
 _SUB_DX = np.array([0, -1, 1, 0, 0, -1, 1, -1, 1], np.int32)
 
 
-def _luma_qpel_planes(ref_y_pad):
+def _luma_qpel_planes(ref_y_pad, out14: bool = False):
     """All 16 (fy, fx) quarter-sample planes from a LUMA_SRC_PAD-
     padded reference (8-tap DCT-IF, spec 8.5.4.2.2.1; device twin of
-    inter.luma_qpel_planes). Output planes are PLANE_PAD-padded."""
+    inter.luma_qpel_planes). Output planes are PLANE_PAD-padded.
+    out14: 14-bit intermediates (acc >> 6) for bi-prediction instead
+    of the rounded/clipped uni-prediction samples."""
     from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
     src = ref_y_pad.astype(jnp.int32)
@@ -241,8 +243,16 @@ def _luma_qpel_planes(ref_y_pad):
             th = [int(x) for x in LUMA_FILTER[fx]]
             tmp = sum(th[k] * src[:, 1 + k:1 + k + wo] for k in range(8))
             acc = sum(tv[k] * tmp[1 + k:1 + k + ho, :] for k in range(8))
-            planes.append(jnp.clip((acc + 2048) >> 12, 0, 255))
+            if out14:
+                planes.append(acc >> 6)
+            else:
+                planes.append(jnp.clip((acc + 2048) >> 12, 0, 255))
     return jnp.stack(planes)
+
+
+def _uni_from_14(p14):
+    """8-bit uni-prediction samples from 14-bit intermediates."""
+    return jnp.clip((p14 + 32) >> 6, 0, 255)
 
 
 def _mc_luma_qpel(planes, mv_q, h: int, w: int):
@@ -282,11 +292,12 @@ def _refine_subpel(cur, planes, mv_full, h: int, w: int):
     return mv_q
 
 
-def _mc_chroma_qpel(ref_c_pad, mv_q, hc: int, wc: int):
+def _mc_chroma_qpel(ref_c_pad, mv_q, hc: int, wc: int,
+                    out14: bool = False):
     """Whole-frame chroma MC for arbitrary luma qpel MVs (eighth-
     sample chroma, spec 8.5.4.2.2.2): 4x4 tap window with per-CU
     fraction weights over the CHROMA_PAD-padded plane (device twin of
-    inter.mc_chroma_qpel)."""
+    inter.mc_chroma_qpel / mc_chroma_qpel14)."""
     pad = CHROMA_PAD
     n = CTB // 2
     p = ref_c_pad.astype(jnp.int32)
@@ -305,7 +316,14 @@ def _mc_chroma_qpel(ref_c_pad, mv_q, hc: int, wc: int):
         for m in range(4):
             tmp += tx[..., m] * p[ri - 1 + k, ci - 1 + m]
         acc += ty[..., k] * tmp
+    if out14:
+        return acc >> 6
     return jnp.clip((acc + 2048) >> 12, 0, 255)
+
+
+def _bi_combine(p0_14, p1_14):
+    """Default bi-prediction combine (spec 8.5.4.2.3.2, 8-bit)."""
+    return jnp.clip((p0_14 + p1_14 + 64) >> 7, 0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -322,16 +340,23 @@ _TC_TABLE = np.array(
                 22, 24], np.int32)
 
 
-def _edge_bs_dev(is_intra, cbf_l, mv):
-    def pair(ia, ib, ca, cb, ma, mb):
+def _edge_bs_dev(is_intra, cbf_l, mv, mv1=None):
+    def pair(ia, ib, ca, cb, ma, mb, m1a=None, m1b=None):
         two = ia | ib
-        one = ca | cb | (jnp.abs(ma - mb) >= 4).any(-1)
+        diff = (jnp.abs(ma - mb) >= 4).any(-1)
+        if m1a is not None:
+            diff |= (jnp.abs(m1a - m1b) >= 4).any(-1)
+        one = ca | cb | diff
         return jnp.where(two, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
 
     bs_v = pair(is_intra[:, :-1], is_intra[:, 1:], cbf_l[:, :-1],
-                cbf_l[:, 1:], mv[:, :-1], mv[:, 1:])
+                cbf_l[:, 1:], mv[:, :-1], mv[:, 1:],
+                *((None, None) if mv1 is None
+                  else (mv1[:, :-1], mv1[:, 1:])))
     bs_h = pair(is_intra[:-1, :], is_intra[1:, :], cbf_l[:-1, :],
-                cbf_l[1:, :], mv[:-1, :], mv[1:, :])
+                cbf_l[1:, :], mv[:-1, :], mv[1:, :],
+                *((None, None) if mv1 is None
+                  else (mv1[:-1, :], mv1[1:, :])))
     return bs_v, bs_h
 
 
@@ -459,19 +484,22 @@ def _deblock_axis(y, u, v, bs, qp, nblk: int):
     return y, outs[0], outs[1]
 
 
-def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp):
+def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
+                      mv1=None):
     """Device HEVC deblock post-pass; twin of
     codec/h265/deblock.py:deblock_frame (vertical edges over the whole
-    picture, then horizontal edges on the result)."""
+    picture, then horizontal edges on the result). mv1 for B frames."""
     y = jnp.asarray(rec_y).astype(jnp.int32)
     u = jnp.asarray(rec_u).astype(jnp.int32)
     v = jnp.asarray(rec_v).astype(jnp.int32)
     is_intra = jnp.asarray(is_intra)
     cbf_l = jnp.asarray(cbf_l)
     mv = jnp.asarray(mv)
+    if mv1 is not None:
+        mv1 = jnp.asarray(mv1)
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
-    bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv)
+    bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv, mv1)
     y, u, v = _deblock_axis(y, u, v, bs_v, qp, ncw)
     yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, qp, nch)
     return (yt.T.astype(jnp.uint8), ut.T.astype(jnp.uint8),
@@ -652,6 +680,60 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     pred_u = _mc_chroma_qpel(ref_u_pad, mv_q, hc, wc)
     pred_v = _mc_chroma_qpel(ref_v_pad, mv_q, hc, wc)
 
+    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c)
+    is_intra = outs["is_intra"]
+    outs["mv"] = jnp.where(is_intra[..., None], 0, mv_q)
+    return outs
+
+
+def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c):
+    """B frame core: per-list quarter-pel motion against the past
+    (list 0) and future (list 1) references, 14-bit bi-prediction
+    combine (spec 8.5.4.2.3.2), per-CTB intra fallback. Matches
+    rowslice.compute_b_rows bit for bit."""
+    y = y.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+    h, w = y.shape
+    hc, wc = h // 2, w // 2
+
+    mvs = []
+    preds14 = []
+    pu14 = []
+    pv14 = []
+    for ry, ru, rv in ((r0y, r0u, r0v), (r1y, r1u, r1v)):
+        ry_pad = jnp.pad(ry.astype(jnp.int32), LUMA_SRC_PAD,
+                         mode="edge")
+        ru_pad = jnp.pad(jnp.asarray(ru), CHROMA_PAD, mode="edge")
+        rv_pad = jnp.pad(jnp.asarray(rv), CHROMA_PAD, mode="edge")
+        p14 = _luma_qpel_planes(ry_pad, out14=True)
+        uni = _uni_from_14(p14)
+        full = motion_search_dev(y, ref_pad=uni[0], pad=PLANE_PAD)
+        mv_q = _refine_subpel(y, uni, full, h, w)
+        mvs.append(mv_q)
+        preds14.append(_mc_luma_qpel(p14, mv_q, h, w))
+        pu14.append(_mc_chroma_qpel(ru_pad, mv_q, hc, wc, out14=True))
+        pv14.append(_mc_chroma_qpel(rv_pad, mv_q, hc, wc, out14=True))
+
+    pred_y = _bi_combine(preds14[0], preds14[1])
+    pred_u = _bi_combine(pu14[0], pu14[1])
+    pred_v = _bi_combine(pv14[0], pv14[1])
+
+    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c)
+    is_intra = outs["is_intra"]
+    outs["mv"] = jnp.where(is_intra[..., None], 0, mvs[0])
+    outs["mv1"] = jnp.where(is_intra[..., None], 0, mvs[1])
+    return outs
+
+
+def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
+    """Shared P/B tail: inter residuals, column scan with per-CTB
+    intra fallback against the given inter prediction, recon."""
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    t16 = jnp.asarray(T16, jnp.int32)
+    t8 = jnp.asarray(T8, jnp.int32)
+
     inter_sad = (jnp.abs(y - pred_y)
                  .reshape(nch, CTB, ncw, CTB).sum((1, 3)))
 
@@ -720,7 +802,6 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     return {
         "is_intra": is_intra,
         "mode": jnp.where(is_intra, mode.T, 0),
-        "mv": jnp.where(is_intra[..., None], 0, mv_q),
         "luma_lv": lv_y.swapaxes(0, 1),
         "cb_lv": lv_u.swapaxes(0, 1),
         "cr_lv": lv_v.swapaxes(0, 1),
@@ -732,6 +813,7 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
 
 encode_frame_i_rows = jax.jit(_i_frame_core)
 encode_frame_p_rows = jax.jit(_p_frame_core)
+encode_frame_b_rows = jax.jit(_b_frame_core)
 
 
 # ---------------------------------------------------------------------------

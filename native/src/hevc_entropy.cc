@@ -480,7 +480,7 @@ void encode_mvd(Cabac& c, uint8_t* ctx, const int32_t* off, int mvd_x,
 }
 
 struct RowArgs {
-  int ncw, idr;
+  int ncw, idr, is_b;
   const uint8_t* hdr_bytes;  // this row's packed header bits
   int hdr_bits;
   const uint8_t* ctx_init;  // initialized context states (n_ctx)
@@ -488,7 +488,8 @@ struct RowArgs {
   const int32_t* off;  // OFF_COUNT offsets
   const uint8_t* is_intra;
   const int32_t* mode;
-  const int32_t* mv;        // (ncw, 2) qpel dy,dx
+  const int32_t* mv;        // (ncw, 2) qpel dy,dx (list 0)
+  const int32_t* mv1;       // (ncw, 2) list 1 (B slices; else null)
   const int16_t* luma_lv;   // (ncw, 256)
   const int16_t* cb_lv;     // (ncw, 64)
   const int16_t* cr_lv;     // (ncw, 64)
@@ -508,7 +509,7 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
 
   int left_mode = 1;  // DC
   bool left_is_intra = false, left_is_inter = false, left_skip = false;
-  int left_mv[2] = {0, 0};
+  int left_mv[2][2] = {{0, 0}, {0, 0}};  // per list
 
   for (int cx = 0; cx < a.ncw; cx++) {
     bool intra_cu = a.is_intra[cx] != 0;
@@ -521,15 +522,15 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
     for (int i = 0; i < 64 && !cbf_r; i++) cbf_r = lr[i] != 0;
     int any_cbf = cbf_l || cbf_b || cbf_r;
 
-    // merge candidates: A1 (left, same slice) else zero fill
-    int merge[2][2] = {{0, 0}, {0, 0}};
-    int n_real = 0;
+    // merge candidates: A1 (left, same slice; full bi motion in B
+    // slices) else zero fill
+    int merge[2][2][2] = {{{0, 0}, {0, 0}}, {{0, 0}, {0, 0}}};
     if (left_is_inter) {
-      merge[0][0] = left_mv[0];
-      merge[0][1] = left_mv[1];
-      n_real = 1;
+      for (int l2 = 0; l2 < 2; l2++) {
+        merge[0][l2][0] = left_mv[l2][0];
+        merge[0][l2][1] = left_mv[l2][1];
+      }
     }
-    (void)n_real;
 
     if (intra_cu) {
       if (!a.idr) {
@@ -567,10 +568,15 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
       left_is_inter = false;
       left_skip = false;
     } else {
-      int mvq[2] = {a.mv[cx * 2], a.mv[cx * 2 + 1]};
+      int mvq[2][2] = {{a.mv[cx * 2], a.mv[cx * 2 + 1]}, {0, 0}};
+      if (a.is_b) {
+        mvq[1][0] = a.mv1[cx * 2];
+        mvq[1][1] = a.mv1[cx * 2 + 1];
+      }
       int merge_idx = -1;
       for (int k = 0; k < 2; k++)
-        if (merge[k][0] == mvq[0] && merge[k][1] == mvq[1]) {
+        if (merge[k][0][0] == mvq[0][0] && merge[k][0][1] == mvq[0][1] &&
+            merge[k][1][0] == mvq[1][0] && merge[k][1][1] == mvq[1][1]) {
           merge_idx = k;
           break;
         }
@@ -588,18 +594,25 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
           c.encode_bin(cs, off[OFF_MERGE_IDX], merge_idx);
         } else {
           c.encode_bin(cs, off[OFF_MERGE_FLAG], 0);
-          int amvp[2][2] = {{0, 0}, {0, 0}};
-          if (left_is_inter) {
-            amvp[0][0] = left_mv[0];
-            amvp[0][1] = left_mv[1];
+          if (a.is_b) {
+            // inter_pred_idc = PRED_BI: one bin, ctx by ct depth (0)
+            c.encode_bin(cs, off[OFF_INTER_PRED_IDC], 1);
           }
-          int cost0 = std::abs(mvq[0] - amvp[0][0]) +
-                      std::abs(mvq[1] - amvp[0][1]);
-          int cost1 = std::abs(mvq[0]) + std::abs(mvq[1]);
-          int mvp_idx = cost0 <= cost1 ? 0 : 1;
-          encode_mvd(c, cs, off, mvq[1] - amvp[mvp_idx][1],
-                     mvq[0] - amvp[mvp_idx][0]);
-          c.encode_bin(cs, off[OFF_MVP_FLAG], mvp_idx);
+          int n_lists = a.is_b ? 2 : 1;
+          for (int lx = 0; lx < n_lists; lx++) {
+            int amvp[2][2] = {{0, 0}, {0, 0}};
+            if (left_is_inter) {
+              amvp[0][0] = left_mv[lx][0];
+              amvp[0][1] = left_mv[lx][1];
+            }
+            int cost0 = std::abs(mvq[lx][0] - amvp[0][0]) +
+                        std::abs(mvq[lx][1] - amvp[0][1]);
+            int cost1 = std::abs(mvq[lx][0]) + std::abs(mvq[lx][1]);
+            int mvp_idx = cost0 <= cost1 ? 0 : 1;
+            encode_mvd(c, cs, off, mvq[lx][1] - amvp[mvp_idx][1],
+                       mvq[lx][0] - amvp[mvp_idx][0]);
+            c.encode_bin(cs, off[OFF_MVP_FLAG], mvp_idx);
+          }
           c.encode_bin(cs, off[OFF_RQT_ROOT_CBF], any_cbf ? 1 : 0);
         }
         if (any_cbf) {
@@ -614,8 +627,10 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
       }
       left_is_intra = false;
       left_is_inter = true;
-      left_mv[0] = mvq[0];
-      left_mv[1] = mvq[1];
+      for (int l2 = 0; l2 < 2; l2++) {
+        left_mv[l2][0] = mvq[l2][0];
+        left_mv[l2][1] = mvq[l2][1];
+      }
     }
     c.encode_terminate(cx == a.ncw - 1 ? 1 : 0);
   }
@@ -632,12 +647,13 @@ extern "C" {
 // hdr_stride) packed header bitstrings with per-row bit counts
 // hdr_bits. Outputs all row RBSPs concatenated into `out` with sizes
 // in row_sizes. Returns total bytes, or -1 on insufficient capacity.
-int64_t hevc_entropy_rows(int nch, int ncw, int idr,
+int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
                           const uint8_t* hdr_bytes,
                           const int32_t* hdr_bits, int hdr_stride,
                           const uint8_t* ctx_init, int n_ctx,
                           const int32_t* off, const uint8_t* is_intra,
                           const int32_t* mode, const int32_t* mv,
+                          const int32_t* mv1,
                           const int16_t* luma_lv, const int16_t* cb_lv,
                           const int16_t* cr_lv, uint8_t* out,
                           int64_t out_cap, int32_t* row_sizes,
@@ -648,6 +664,7 @@ int64_t hevc_entropy_rows(int nch, int ncw, int idr,
       RowArgs a;
       a.ncw = ncw;
       a.idr = idr;
+      a.is_b = is_b;
       a.hdr_bytes = hdr_bytes + static_cast<int64_t>(cy) * hdr_stride;
       a.hdr_bits = hdr_bits[cy];
       a.ctx_init = ctx_init;
@@ -656,6 +673,7 @@ int64_t hevc_entropy_rows(int nch, int ncw, int idr,
       a.is_intra = is_intra + static_cast<int64_t>(cy) * ncw;
       a.mode = mode + static_cast<int64_t>(cy) * ncw;
       a.mv = mv + static_cast<int64_t>(cy) * ncw * 2;
+      a.mv1 = is_b ? mv1 + static_cast<int64_t>(cy) * ncw * 2 : nullptr;
       a.luma_lv = luma_lv + static_cast<int64_t>(cy) * ncw * 256;
       a.cb_lv = cb_lv + static_cast<int64_t>(cy) * ncw * 64;
       a.cr_lv = cr_lv + static_cast<int64_t>(cy) * ncw * 64;

@@ -230,6 +230,35 @@ class TestDeviceEncoderConformance:
             b += enc2.encode_frame(y, u, v).data
         assert a == b
 
+    def test_bframes_match_row_encoder_and_oracle(self, tmp_path):
+        """Device IBPBP chain must equal the numpy reference stream
+        byte for byte and decode bit-exact (display order rebuilt from
+        POCs)."""
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
+        frames = _panning(7)
+        d = H265DeviceEncoder(96, 64, qp=30, gop=50, bframes=1)
+        r = H265RowEncoder(96, 64, qp=30, gop=50, bframes=1)
+        dcoded, rbytes = [], b""
+        for f in frames:
+            dcoded += d.push_frame(*f)
+            for t in r.push_frame(*f):
+                rbytes += t[0]
+        dcoded += d.flush()
+        for t in r.flush():
+            rbytes += t[0]
+        dbytes = b"".join(t[0] for t in dcoded)
+        assert dbytes == rbytes
+        path = tmp_path / "devb.265"
+        path.write_bytes(d.headers() + dbytes)
+        decoded = decode(path, 96, 64, len(frames))
+        disp = sorted(dcoded, key=lambda t: t[1])
+        for i, dec in enumerate(decoded):
+            rec = tuple(np.asarray(p) for p in disp[i][3])
+            for nm, dp, rp in zip("yuv", dec, rec):
+                hh, ww = dp.shape
+                assert np.array_equal(dp, rp[:hh, :ww]), (i, nm)
+
     def test_matches_row_encoder_stream(self, tmp_path):
         """Device encoder and the numpy H265RowEncoder must emit the
         identical bitstream (same arrays -> same entropy)."""

@@ -162,6 +162,113 @@ class TestRowSliceConformance:
         assert (arr["mv"] & 3).any()
 
 
+class TestBFrames:
+    def _roundtrip(self, frames, w, h, tmp_path, tag, gop=50):
+        enc = H265RowEncoder(w, h, qp=30, gop=gop, bframes=1)
+        out = enc.headers()
+        coded = []
+        for f in frames:
+            coded += enc.push_frame(*f)
+        coded += enc.flush()
+        for data, _, _, _ in coded:
+            out += data
+        path = tmp_path / f"{tag}.265"
+        path.write_bytes(out)
+        decoded = decode(path, w, h, len(frames))
+        disp = sorted(coded, key=lambda t: t[1])
+        for i, d in enumerate(decoded):
+            for name, dp, rp in zip("yuv", d, disp[i][3]):
+                assert np.array_equal(dp, rp), f"{tag} f{i} {name}"
+        return [k for _, _, k, _ in coded]
+
+    def test_ibpbp_structure(self, tmp_path):
+        kinds = self._roundtrip(_panning(7), 96, 64, tmp_path, "b")
+        assert kinds == ["I", "P", "B", "P", "B", "P", "B"]
+
+    def test_flush_trailing_b_as_p(self, tmp_path):
+        kinds = self._roundtrip(_panning(6), 96, 64, tmp_path, "bf")
+        assert kinds == ["I", "P", "B", "P", "B", "P"]
+
+    def test_b_beats_p_on_subpixel_motion(self, tmp_path):
+        """Bi-prediction should cost fewer bits than low-delay P at
+        equal QP when residual bits dominate (textured content with
+        sub-pixel panning; in the overhead-dominated smooth regime the
+        per-row slice headers hide the gain)."""
+        w, h = 96, 64
+        rng = np.random.default_rng(3)
+        big = rng.integers(0, 256, (h + 40, w + 40)).astype(np.float64)
+        # band-limit so motion is compensable
+        k = np.ones(5) / 5
+        for ax in (0, 1):
+            big = np.apply_along_axis(
+                lambda r: np.convolve(r, k, "same"), ax, big)
+        big = (big - big.min()) * (255 / (big.max() - big.min()))
+        frames = []
+        for i in range(7):
+            sx, sy = 8 + 1.6 * i, 8 + 0.9 * i
+            x0, y0 = int(sx), int(sy)
+            fx, fy = sx - x0, sy - y0
+            a = big[y0:y0 + h + 1, x0:x0 + w + 1]
+            y = np.clip((1 - fy) * (1 - fx) * a[:-1, :-1]
+                        + (1 - fy) * fx * a[:-1, 1:]
+                        + fy * (1 - fx) * a[1:, :-1]
+                        + fy * fx * a[1:, 1:], 0, 255).astype(np.uint8)
+            frames.append((y, (y[::2, ::2] // 2 + 60).astype(np.uint8),
+                           (y[1::2, 1::2] // 3 + 70).astype(np.uint8)))
+        eb = H265RowEncoder(w, h, qp=26, gop=50, bframes=1)
+        outs = []
+        for f in frames:
+            outs += eb.push_frame(*f)
+        outs += eb.flush()
+        b_frames = [len(t[0]) for t in outs if t[2] == "B"]
+        ep = H265RowEncoder(w, h, qp=26, gop=50)
+        p_sizes = [len(ep.encode_frame(*f)[0]) for f in frames][1:]
+        # B frames should be cheaper than the average P at the same QP
+        assert np.mean(b_frames) < np.mean(p_sizes)
+
+    def test_native_b_entropy_bytes(self):
+        from ceracoder_tpu import native
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        from ceracoder_tpu.codec.h265.rowslice import compute_b_rows
+        frames = _panning(3)
+        _, rec0 = compute_intra_rows(*frames[0], 30, 29)
+        _, rec2 = compute_intra_rows(*frames[2], 30, 29)
+        arr, _ = compute_b_rows(*frames[1], rec0, rec2, 30, 29)
+        p = HevcParams(width=96, height=64, qp=30, pcm_enabled=False,
+                       max_reorder=1, max_dpb_minus1=2)
+        a = entropy_rows(p, arr, 30, idr=False, poc=1, slice_type="B")
+        b = entropy_rows_native(p, arr, 30, idr=False, poc=1,
+                                slice_type="B")
+        assert b is not None
+        for i, (x, z) in enumerate(zip(a, b)):
+            assert x == z, f"row {i}"
+        # synthetic stress: random bi MVs, mixed intra, sparse levels
+        rng = np.random.default_rng(29)
+        nch, ncw = 3, 6
+        arr2 = {
+            "is_intra": rng.random((nch, ncw)) < 0.3,
+            "mode": rng.choice([0, 1, 10, 26], (nch, ncw))
+            .astype(np.int32),
+            "mv": rng.integers(-33, 34, (nch, ncw, 2)).astype(np.int32),
+            "mv1": rng.integers(-33, 34, (nch, ncw, 2))
+            .astype(np.int32),
+            "luma_lv": (rng.integers(-9, 10, (nch, ncw, 16, 16))
+                        * (rng.random((nch, ncw, 16, 16)) < 0.1))
+            .astype(np.int32),
+            "cb_lv": (rng.integers(-5, 6, (nch, ncw, 8, 8))
+                      * (rng.random((nch, ncw, 8, 8)) < 0.15))
+            .astype(np.int32),
+            "cr_lv": np.zeros((nch, ncw, 8, 8), np.int32),
+        }
+        a2 = entropy_rows(p, arr2, 34, idr=False, poc=3,
+                          slice_type="B")
+        b2 = entropy_rows_native(p, arr2, 34, idr=False, poc=3,
+                                 slice_type="B")
+        for i, (x, z) in enumerate(zip(a2, b2)):
+            assert x == z, f"stress row {i}"
+
+
 class TestNativeEntropy:
     """native/src/hevc_entropy.cc must be byte-identical to the
     Python entropy_rows spec."""
