@@ -99,6 +99,39 @@ def test_sharded_matches_single_chip():
         assert int(np.asarray(nz_p)[st]) == expect
 
 
+def test_gop_parallel_matches_single_device():
+    """Closed-GOP round-robin across devices must emit the identical
+    stream to a single-device encode (and decode via the oracle)."""
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+    from ceracoder_tpu.parallel.gop import GopParallelEncoder
+
+    w, h, n, gop = 96, 64, 8, 4
+    frame = _content(1, h, w, seed=3)
+    frames = [tuple(p[0] for p in frame(i)) for i in range(n)]
+
+    ge = GopParallelEncoder(w, h, qp=31, gop=gop,
+                            devices=jax.devices()[:4])
+    parts = ge.encode_clip(frames)
+    a = ge.headers() + b"".join(parts)
+
+    se = H265DeviceEncoder(w, h, qp=31, gop=gop)
+    b = se.headers() + b"".join(
+        se.encode_frame(*f).data for f in frames)
+    assert a == b
+
+    tmp = Path(tempfile.mkdtemp(prefix="gop_"))
+    p = tmp / "g.265"
+    p.write_bytes(a)
+    out = str(p) + ".yuv"
+    r = subprocess.run([str(Path("tools/decode_oracle").resolve()),
+                        str(p), out], capture_output=True, text=True)
+    assert r.returncode == 0 and f"frames={n}" in r.stderr, r.stderr
+
+
 def test_sharded_cross_band_motion():
     """Vertical panning moves content across band boundaries: MVs must
     reach into neighbor halos and still match single-chip."""
