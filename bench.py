@@ -1,25 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: full-pipeline H.264 encode throughput at 1080p.
+"""Benchmark: full-pipeline encode throughput at 1080p.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline target (BASELINE.md) is real-time 1080p60; vs_baseline is
-the fraction of 60 fps achieved by the full pipeline (device generate/
-predict/transform/entropy-pack + host NAL framing) on one chip. The
-source is the device-side test-pattern generator (the analog of the
+The headline target (BASELINE.md) is real-time 1080p60 HEVC;
+vs_baseline is the fraction of 60 fps achieved by the full pipeline
+on one chip (device compute + entropy + host NAL framing). The source
+is the device-side test-pattern generator (the analog of the
 reference's test-pattern pipelines), so the measurement is encoder
 throughput, not the dev-harness host<->device tunnel bandwidth
 (~55 MB/s here vs GB/s PCIe on a real TPU host — raw 1080p ingest
 saturates the former).
 
-Frames are dispatched in fused multi-frame runs (encoder.
-encode_run_async: one lax.scan executable per GOP segment), which
-amortizes the per-launch host->device round trip — the dominant cost
-over the dev-harness tunnel (~35-40 ms/launch vs ~2 ms/frame compute).
+Frames are dispatched in fused multi-frame runs (one lax.scan
+executable per GOP segment), which amortizes the per-launch
+host->device round trip — the dominant cost over the dev-harness
+tunnel (~35-40 ms/launch vs a few ms/frame compute).
+
+Codec selection: CERACODER_BENCH=h264|hevc (default h264 until the
+HEVC run executable is compile-validated on the chip); size override
+CERACODER_BENCH_SIZE=WxH for CPU smoke runs.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,20 +37,20 @@ GOP = 60
 N = 120           # timed frames
 
 
-def main():
+def bench_encoder(make_encoder, w, h):
     from ceracoder_tpu.app.source import DeviceTestPatternSource
-    from ceracoder_tpu.codec.h264.encoder import H264Encoder
 
-    src = DeviceTestPatternSource(1920, 1088, texture=6)
-    enc = H264Encoder(1920, 1088, qp=28, gop=GOP)
+    src = DeviceTestPatternSource(w, h, texture=6)
+    enc = make_encoder()
 
     # warmup: compiles the IDR-run and P-run executables
     for p in enc.encode_run_async(source=src, indices=range(RUN)):
         p.result()
-    for p in enc.encode_run_async(source=src, indices=range(RUN, 2 * RUN)):
+    for p in enc.encode_run_async(source=src,
+                                  indices=range(RUN, 2 * RUN)):
         p.result()
 
-    enc2 = H264Encoder(1920, 1088, qp=28, gop=GOP)
+    enc2 = make_encoder()
     nbytes = 0
     pend = []
     t0 = time.time()
@@ -57,10 +62,30 @@ def main():
         pend = new
     nbytes += sum(len(p.result().data) for p in pend)
     dt = (time.time() - t0) / N
-    fps = 1.0 / dt
+    return 1.0 / dt, nbytes
 
+
+def main():
+    codec = os.environ.get("CERACODER_BENCH", "h264")
+    size = os.environ.get("CERACODER_BENCH_SIZE", "1920x1088")
+    w, h = map(int, size.split("x"))
+
+    if codec == "hevc":
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+
+        def make():
+            return H265DeviceEncoder(w, h, qp=30, gop=GOP)
+        metric = "1080p60_hevc_stream_pipeline"
+    else:
+        from ceracoder_tpu.codec.h264.encoder import H264Encoder
+
+        def make():
+            return H264Encoder(w, h, qp=28, gop=GOP)
+        metric = "1080p60_h264_stream_pipeline"
+
+    fps, _ = bench_encoder(make, w, h)
     print(json.dumps({
-        "metric": "1080p60_h264_stream_pipeline",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
