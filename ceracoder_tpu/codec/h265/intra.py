@@ -24,7 +24,15 @@ from ceracoder_tpu.codec.h265.tables import (
 )
 
 PLANAR, DC, HOR, VER = 0, 1, 10, 26
-CAND_MODES = (PLANAR, DC, HOR, VER)
+# candidate set: the classic four plus the horizontal-class angular
+# modes 2..9 — positive intraPredAngle, so prediction reads only the
+# left reference column (the row-slice schedule's available side).
+# Order matters: SAD ties keep the earlier candidate, and the device
+# op (ops/h265.py) must match it exactly.
+CAND_MODES = (PLANAR, DC, HOR, VER, 2, 3, 4, 5, 6, 7, 8, 9)
+
+# intraPredAngle for modes 2..10 (spec Table 8-5)
+ANGLES = {2: 32, 3: 26, 4: 21, 5: 17, 6: 13, 7: 9, 8: 5, 9: 2, 10: 0}
 
 _T = {8: T8.astype(np.int64), 16: T16.astype(np.int64)}
 
@@ -91,15 +99,39 @@ def smooth_refs(left: np.ndarray, top: np.ndarray, corner: int):
     return fl, ft, int(fc)
 
 
+def _smooth_for(mode: int, n: int, c_idx: int) -> bool:
+    """Reference smoothing filterFlag (spec 8.4.4.2.3): luma only;
+    DC excluded; planar always (minDistVerHor 10); angular when
+    min(|mode-26|, |mode-10|) exceeds the per-size threshold
+    (7 for nTbS 8, 1 for 16, 0 for 32)."""
+    if c_idx != 0 or mode == DC or n < 8:
+        return False
+    if mode == PLANAR:
+        return True
+    thres = {8: 7, 16: 1, 32: 0}[n]
+    return min(abs(mode - 26), abs(mode - 10)) > thres
+
+
 def predict(mode: int, left: np.ndarray, top: np.ndarray, corner: int,
             n: int, c_idx: int) -> np.ndarray:
     """Intra prediction for the supported modes (spec 8.4.4.2.4-.6)."""
     luma = c_idx == 0
-    # reference smoothing filterFlag (8.4.4.2.3): of the supported
-    # modes only planar qualifies (minDistVerHor 10 vs thresholds
-    # 7/1/0 for nTbS 8/16/32); HOR/VER have distance 0, DC is excluded
-    if luma and mode == PLANAR and n >= 8:
+    if _smooth_for(mode, n, c_idx):
         left, top, corner = smooth_refs(left, top, corner)
+    if 2 <= mode <= 9:
+        # horizontal-class angular with positive intraPredAngle
+        # (spec 8.4.4.2.6 with the x/y swap for predModeIntra < 18):
+        # only the left reference participates
+        a = ANGLES[mode]
+        refl = np.concatenate([left, left[-1:]])     # [2n+1] guard
+        xs = np.arange(n)
+        idx = ((xs + 1) * a) >> 5                    # per column
+        fact = ((xs + 1) * a) & 31
+        ys = np.arange(n)
+        i0 = ys[:, None] + idx[None, :]
+        pred = ((32 - fact)[None, :] * refl[i0]
+                + fact[None, :] * refl[i0 + 1] + 16) >> 5
+        return pred.astype(np.int32)
     x = np.arange(n)
     y = np.arange(n)
     if mode == PLANAR:

@@ -44,7 +44,10 @@ from ceracoder_tpu.codec.h265.tables import (
 CTB = 16
 SEARCH_RANGE = 8
 
-_MODES = jnp.array([0, 1, 10, 26], jnp.int32)   # planar, DC, hor, ver
+# candidate modes in decision order (must match intra.CAND_MODES):
+# planar, DC, hor, ver, then left-only angular 2..9
+_MODES = jnp.array([0, 1, 10, 26, 2, 3, 4, 5, 6, 7, 8, 9], jnp.int32)
+_ANGLES = (32, 26, 21, 17, 13, 9, 5, 2)        # modes 2..9 (Table 8-5)
 
 # center-outward shift enumeration matching
 # codec/h265/inter.py:motion_search (ties prefer the shorter MV)
@@ -166,7 +169,26 @@ def _intra_preds(left, n: int, luma: bool):
         ver = ver.at[:, :, 0].set(
             jnp.clip(corner + ((left - corner) >> 1), 0, 255))
 
-    return jnp.stack([planar, dcp, hor, ver], axis=1)
+    # angular 2..9 (spec 8.4.4.2.6, horizontal class: only the left
+    # reference participates). Smoothing (8.4.4.2.3): luma 16x16
+    # filters modes 2..8 (minDist > 1); mode 9 (minDist 1) does not;
+    # chroma never.
+    xs_i = jnp.arange(n, dtype=jnp.int32)
+    ys_i = jnp.arange(n, dtype=jnp.int32)
+    angulars = []
+    for ai, a in enumerate(_ANGLES):
+        mode_num = 2 + ai
+        use_smooth = luma and n >= 8 and mode_num <= 8
+        base_ref = fl if use_smooth else left2
+        refl = jnp.concatenate([base_ref, base_ref[:, -1:]], axis=1)
+        idx = ((xs_i + 1) * a) >> 5
+        fact = ((xs_i + 1) * a) & 31
+        i0 = ys_i[:, None] + idx[None, :]
+        pred = ((32 - fact)[None, None, :] * refl[:, i0]
+                + fact[None, None, :] * refl[:, i0 + 1] + 16) >> 5
+        angulars.append(pred)
+
+    return jnp.stack([planar, dcp, hor, ver, *angulars], axis=1)
 
 
 # ---------------------------------------------------------------------------
