@@ -119,3 +119,33 @@ def test_process_lifecycle():
     finally:
         if proc2.poll() is None:
             proc2.kill()
+
+
+class TestJobCorpus:
+    """The jobs/ template corpus (the analog of the reference's
+    pipeline/ directory, reference README.md:236-244) must parse
+    through the app's jobspec loader with consistent fields."""
+
+    def test_corpus_parses(self, tmp_path):
+        from pathlib import Path
+
+        from ceracoder_tpu.app.jobspec import parse_jobspec
+        from ceracoder_tpu.bindings.jobs import RESOLUTIONS
+
+        jobs = Path(__file__).resolve().parents[1] / "jobs"
+        files = sorted(jobs.iterdir())
+        assert len(files) >= 60
+        for f in files:
+            spec = parse_jobspec(str(f))
+            if f.name == "audio_only":
+                continue
+            codec, src, point = f.name.split("_")
+            assert spec.codec == codec
+            assert spec.kind == src
+            res = point.rstrip("0123456789")
+            fps = int(point[len(res):])
+            w, h = RESOLUTIONS[res]
+            assert (spec.width, spec.height) == (w, h)
+            assert spec.fps_num == fps
+            # GOP policy: 2 s of frames (reference common.ts:104-107)
+            assert spec.gop_frames == 2 * fps
