@@ -192,12 +192,14 @@ def inv_transform(coef: np.ndarray) -> np.ndarray:
     return np.clip(r, -32768, 32767)
 
 
-def quantize(coef: np.ndarray, qp: int) -> np.ndarray:
+def quantize(coef: np.ndarray, qp: int,
+             intra: bool = True) -> np.ndarray:
     n = coef.shape[0]
     log2n = n.bit_length() - 1
     qbits = 21 + qp // 6 - log2n
     scale = int(QUANT_SCALES[qp % 6])
-    off = 171 << (qbits - 9)         # intra rounding (HM: 171/512)
+    # HM rounding offsets: 171/512 intra, 85/512 inter
+    off = (171 if intra else 85) << (qbits - 9)
     level = (np.abs(coef) * scale + off) >> qbits
     return (np.sign(coef) * level).astype(np.int64)
 

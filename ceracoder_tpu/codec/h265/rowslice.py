@@ -133,8 +133,8 @@ def compute_intra_rows(y, u, v, qp: int, qp_c: int):
     return arrays, (rec_y, rec_u, rec_v)
 
 
-def _code_tu_pred(src, recp, pred, x0, y0, qp):
-    coef = I.quantize(I.fwd_transform(src - pred), qp)
+def _code_tu_pred(src, recp, pred, x0, y0, qp, intra=True):
+    coef = I.quantize(I.fwd_transform(src - pred), qp, intra=intra)
     if coef.any():
         rec = np.clip(pred + I.inv_transform(I.dequantize(coef, qp)),
                       0, 255)
@@ -208,15 +208,15 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
             else:
                 mv[cy, cx] = mv_q
                 _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, pred_y, x0, y0, qp)
+                    src, rec_y, pred_y, x0, y0, qp, intra=False)
                 pred_u = pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc]
                 pred_v = pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
                 _, cb_lv[cy, cx] = _code_tu_pred(
-                    src_u, rec_u, pred_u, cx0, cy0, qp_c)
+                    src_u, rec_u, pred_u, cx0, cy0, qp_c, intra=False)
                 _, cr_lv[cy, cx] = _code_tu_pred(
-                    src_v, rec_v, pred_v, cx0, cy0, qp_c)
+                    src_v, rec_v, pred_v, cx0, cy0, qp_c, intra=False)
 
     arrays = {"is_intra": is_intra, "mode": mode, "mv": mv,
               "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
@@ -291,15 +291,15 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
                 mv0[cy, cx] = mvq[0][cy, cx]
                 mv1[cy, cx] = mvq[1][cy, cx]
                 _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, pred_y, x0, y0, qp)
+                    src, rec_y, pred_y, x0, y0, qp, intra=False)
                 _, cb_lv[cy, cx] = _code_tu_pred(
                     u[cy0:cy0 + nc, cx0:cx0 + nc], rec_u,
                     pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                    cx0, cy0, qp_c)
+                    cx0, cy0, qp_c, intra=False)
                 _, cr_lv[cy, cx] = _code_tu_pred(
                     v[cy0:cy0 + nc, cx0:cx0 + nc], rec_v,
                     pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                    cx0, cy0, qp_c)
+                    cx0, cy0, qp_c, intra=False)
 
     arrays = {"is_intra": is_intra, "mode": mode, "mv": mv0,
               "mv1": mv1, "luma_lv": luma_lv, "cb_lv": cb_lv,

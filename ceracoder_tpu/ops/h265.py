@@ -84,10 +84,11 @@ def _inv_transform(coef, t, log2n: int):
     return jnp.clip(r, -32768, 32767)
 
 
-def _quantize(coef, qp, log2n: int):
+def _quantize(coef, qp, log2n: int, intra: bool = True):
     qbits = 21 + qp // 6 - log2n
     scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
-    off = 171 << (qbits - 9)
+    # HM rounding offsets: 171/512 intra, 85/512 inter
+    off = (171 if intra else 85) << (qbits - 9)
     level = (jnp.abs(coef) * scale + off) >> qbits
     return jnp.sign(coef) * level
 
@@ -99,9 +100,10 @@ def _dequantize(level, qp, log2n: int):
     return jnp.clip(d, -32768, 32767)
 
 
-def _code_tu(src, pred, qp, t, log2n: int):
+def _code_tu(src, pred, qp, t, log2n: int, intra: bool = True):
     """Quantized levels + reconstruction for one batch of TUs."""
-    lv = _quantize(_fwd_transform(src - pred, t, log2n), qp, log2n)
+    lv = _quantize(_fwd_transform(src - pred, t, log2n), qp, log2n,
+                   intra=intra)
     cbf = lv.reshape(*lv.shape[:-2], -1).any(-1)
     rec_res = _inv_transform(_dequantize(lv, qp, log2n), t, log2n)
     rec = jnp.clip(pred + jnp.where(cbf[..., None, None], rec_res, 0),
@@ -761,11 +763,13 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
 
     # inter residuals (carry-independent: outside the scan)
     ilv_y, irec_y = _code_tu(_col_view(y, CTB), _col_view(pred_y, CTB),
-                             qp, t16, 4)
+                             qp, t16, 4, intra=False)
     ilv_u, irec_u = _code_tu(_col_view(u, CTB // 2),
-                             _col_view(pred_u, CTB // 2), qp_c, t8, 3)
+                             _col_view(pred_u, CTB // 2), qp_c, t8, 3,
+                             intra=False)
     ilv_v, irec_v = _code_tu(_col_view(v, CTB // 2),
-                             _col_view(pred_v, CTB // 2), qp_c, t8, 3)
+                             _col_view(pred_v, CTB // 2), qp_c, t8, 3,
+                             intra=False)
 
     ys = _col_view(y, CTB)
     us = _col_view(u, CTB // 2)
