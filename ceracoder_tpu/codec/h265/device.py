@@ -45,7 +45,8 @@ class H265DeviceEncoder:
 
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
-                 deblock: bool = True, bframes: int = 0):
+                 deblock: bool = True, bframes: int = 0,
+                 tile_rows: bool = True):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -58,7 +59,8 @@ class H265DeviceEncoder:
         self.params = HevcParams(width=width, height=height, qp=qp,
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
-                                 max_dpb_minus1=1 + self.bframes)
+                                 max_dpb_minus1=1 + self.bframes,
+                                 tile_rows=tile_rows)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None              # device recon planes

@@ -46,6 +46,7 @@ from ceracoder_tpu.codec.h265.inter import (
     refine_subpel,
     uni_from_14,
 )
+from ceracoder_tpu.codec.bitwriter import emulation_prevent
 from ceracoder_tpu.codec.h265.residual import encode_residual
 from ceracoder_tpu.codec.h265.syntax import (
     NAL_IDR_W_RADL,
@@ -356,17 +357,19 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
     mv1 = arrays["mv1"] if is_b else None
     nch, ncw = is_intra.shape
     init_type = 0 if idr else (2 if is_b else 1)
+    tiles = p.tile_rows and nch > 1
     out = []
     for cy in range(nch):
-        hdr = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
-                                ref_poc_delta=ref_poc_delta,
-                                slice_type=None if idr else st,
-                                fwd_poc_delta=fwd_poc_delta,
-                                ctb_addr=cy * ncw)
         enc = CabacEncoder()
-        hv, hl = hdr.arrays()
-        for val, n in zip(hv.tolist(), hl.tolist()):
-            enc.write_raw(int(val), int(n))
+        if not tiles:
+            hdr = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
+                                    ref_poc_delta=ref_poc_delta,
+                                    slice_type=None if idr else st,
+                                    fwd_poc_delta=fwd_poc_delta,
+                                    ctb_addr=cy * ncw)
+            hv, hl = hdr.arrays()
+            for val, n in zip(hv.tolist(), hl.tolist()):
+                enc.write_raw(int(val), int(n))
         ctx, off = build_slice_contexts(qp, init_type=init_type)
 
         left_mode = I.DC          # MPM A candidate (DC if unavailable)
@@ -489,11 +492,39 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
                 left_is_intra = False
                 left_is_inter = True
                 left_mv = cu_mv
-            enc.encode_terminate(1 if cx == ncw - 1 else 0)
+            if cx < ncw - 1:
+                enc.encode_terminate(0)   # end_of_slice_segment_flag
+            elif not tiles or cy == nch - 1:
+                enc.encode_terminate(1)   # true slice end
+            else:
+                # tile end: end_of_slice_segment_flag = 0, then
+                # end_of_subset_one_bit = 1 + byte alignment
+                enc.encode_terminate(0)
+                enc.encode_terminate(1)
         enc.finish()
         enc.align_one()
         out.append(enc.to_bytes())
+    if tiles:
+        return [_assemble_tiles(p, out, qp, idr, poc, ref_poc_delta,
+                                None if idr else st, fwd_poc_delta)]
     return out
+
+
+def _assemble_tiles(p: HevcParams, bodies: list[bytes], qp: int,
+                    idr: bool, poc: int, ref_poc_delta: int,
+                    slice_type, fwd_poc_delta: int = 1) -> bytes:
+    """One slice carrying one tile per CTB row: slice header with
+    entry-point offsets (coded-domain byte sizes of tiles 0..N-2,
+    spec 7.4.7.1 — emulation prevention bytes counted; regions never
+    share a zero run because every CABAC flush ends on a nonzero,
+    byte-aligned byte) followed by the concatenated tile substreams."""
+    coded_sizes = [len(emulation_prevent(b)) for b in bodies[:-1]]
+    hdr = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
+                            ref_poc_delta=ref_poc_delta,
+                            slice_type=slice_type,
+                            fwd_poc_delta=fwd_poc_delta,
+                            ctb_addr=0, tile_sizes=coded_sizes)
+    return hdr.to_bytes() + b"".join(bodies)
 
 
 # fixed element order of the offsets array passed to the native stage
@@ -533,20 +564,28 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     cr_lv = np.ascontiguousarray(arrays["cr_lv"], np.int16)
     nch, ncw = is_intra.shape
 
-    # per-row packed slice headers
-    hdrs = []
-    for cy in range(nch):
-        hw = slice_header_bits(p, idr=idr, qp=qp, poc=poc,
-                               ref_poc_delta=ref_poc_delta,
-                               slice_type=None if idr else slice_type,
-                               ctb_addr=cy * ncw)
-        hdrs.append((hw.to_bytes(), hw.bit_length))
-    stride = max(len(b) for b, _ in hdrs)
-    hdr_bytes = np.zeros((nch, stride), np.uint8)
-    hdr_bits = np.zeros(nch, np.int32)
-    for cy, (b, nb) in enumerate(hdrs):
-        hdr_bytes[cy, :len(b)] = np.frombuffer(b, np.uint8)
-        hdr_bits[cy] = nb
+    # per-row packed slice headers (tile mode: rows are headerless
+    # substreams; the single slice header is assembled afterwards)
+    tiles = p.tile_rows and nch > 1
+    if tiles:
+        stride = 1
+        hdr_bytes = np.zeros((nch, 1), np.uint8)
+        hdr_bits = np.zeros(nch, np.int32)
+    else:
+        hdrs = []
+        for cy in range(nch):
+            hw = slice_header_bits(
+                p, idr=idr, qp=qp, poc=poc,
+                ref_poc_delta=ref_poc_delta,
+                slice_type=None if idr else slice_type,
+                ctb_addr=cy * ncw)
+            hdrs.append((hw.to_bytes(), hw.bit_length))
+        stride = max(len(b) for b, _ in hdrs)
+        hdr_bytes = np.zeros((nch, stride), np.uint8)
+        hdr_bits = np.zeros(nch, np.int32)
+        for cy, (b, nb) in enumerate(hdrs):
+            hdr_bytes[cy, :len(b)] = np.frombuffer(b, np.uint8)
+            hdr_bits[cy] = nb
 
     init_type = 0 if idr else (2 if is_b else 1)
     ctx, off = build_slice_contexts(qp, init_type=init_type)
@@ -557,7 +596,7 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     row_sizes = np.zeros(nch, np.int32)
     nt = n_threads or min(nch, os.cpu_count() or 1)
     total = lib.hevc_entropy_rows(
-        nch, ncw, int(idr), int(is_b),
+        nch, ncw, int(idr), int(is_b), int(tiles),
         hdr_bytes.ctypes.data_as(ctypes.c_void_p),
         hdr_bits.ctypes.data_as(ctypes.c_void_p), stride,
         ctx.ctypes.data_as(ctypes.c_void_p), len(ctx),
@@ -579,6 +618,9 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
         sz = int(row_sizes[cy])
         res.append(out[pos:pos + sz].tobytes())
         pos += sz
+    if tiles:
+        return [_assemble_tiles(p, res, qp, idr, poc, ref_poc_delta,
+                                None if idr else slice_type)]
     return res
 
 
@@ -594,7 +636,8 @@ class H265RowEncoder:
 
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
-                 deblock: bool = True, bframes: int = 0):
+                 deblock: bool = True, bframes: int = 0,
+                 tile_rows: bool = True):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -606,7 +649,8 @@ class H265RowEncoder:
         self.params = HevcParams(width=width, height=height, qp=qp,
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
-                                 max_dpb_minus1=1 + self.bframes)
+                                 max_dpb_minus1=1 + self.bframes,
+                                 tile_rows=tile_rows)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None

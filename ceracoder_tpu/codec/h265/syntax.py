@@ -71,6 +71,10 @@ class HevcParams:
     # in-loop deblocking (row-slice encoders enable it; the raster
     # encoders keep it off)
     deblock: bool = False
+    # tile rows: one tile per CTB row in a single slice (entry-point
+    # offsets instead of per-row slice headers — same row
+    # independence, ~10 bytes/row less overhead). Requires >1 CTB row.
+    tile_rows: bool = False
 
     @property
     def ctb(self) -> int:
@@ -181,8 +185,14 @@ def write_pps(p: HevcParams) -> bytes:
     w.flag(0)       # weighted_pred_flag
     w.flag(0)       # weighted_bipred_flag
     w.flag(0)       # transquant_bypass_enabled_flag
-    w.flag(0)       # tiles_enabled_flag
+    tiles = p.tile_rows and p.pic_height_ctbs > 1
+    w.flag(tiles)   # tiles_enabled_flag
     w.flag(0)       # entropy_coding_sync_enabled_flag
+    if tiles:
+        w.ue(0)                         # num_tile_columns_minus1
+        w.ue(p.pic_height_ctbs - 1)     # num_tile_rows_minus1
+        w.flag(1)                       # uniform_spacing_flag
+        w.flag(1)   # loop_filter_across_tiles_enabled_flag
     w.flag(1)       # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)       # deblocking_filter_control_present_flag
     w.flag(0)       # deblocking_filter_override_enabled_flag
@@ -204,7 +214,8 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
                       ref_poc_delta: int = 1,
                       slice_type: str | None = None,
                       fwd_poc_delta: int = 1,
-                      ctb_addr: int = 0) -> BitWriter:
+                      ctb_addr: int = 0,
+                      tile_sizes=None) -> BitWriter:
     """Slice segment header (spec 7.3.6.1) for an IDR I-slice, a
     TRAIL_R P-slice referencing ``ref_poc_delta`` back, or a TRAIL_N
     B-slice additionally referencing ``fwd_poc_delta`` ahead; caller
@@ -247,6 +258,17 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
         # deblocking is not disabled (spec 7.3.6.1); the frame-level
         # deblock post-pass filters across row slices
         w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
+    if p.tile_rows and p.pic_height_ctbs > 1:
+        # entry points of tiles 2..N (spec 7.3.6.1): byte offsets in
+        # the RBSP (pre emulation prevention)
+        sizes = tile_sizes or ()
+        w.ue(len(sizes))                # num_entry_point_offsets
+        if sizes:
+            max_off = max(sizes)
+            nbits = max(1, (max_off - 1).bit_length())
+            w.ue(nbits - 1)             # offset_len_minus1
+            for s in sizes:
+                w.u(s - 1, nbits)       # entry_point_offset_minus1
     # byte_alignment()
     w.u(1, 1)
     pad = (-w.bit_length) % 8

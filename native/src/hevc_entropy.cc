@@ -481,6 +481,7 @@ void encode_mvd(Cabac& c, uint8_t* ctx, const int32_t* off, int mvd_x,
 
 struct RowArgs {
   int ncw, idr, is_b;
+  int tile_mode, last_row;  // tile substream vs standalone slice
   const uint8_t* hdr_bytes;  // this row's packed header bits
   int hdr_bits;
   const uint8_t* ctx_init;  // initialized context states (n_ctx)
@@ -632,7 +633,16 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
         left_mv[l2][1] = mvq[l2][1];
       }
     }
-    c.encode_terminate(cx == a.ncw - 1 ? 1 : 0);
+    if (cx < a.ncw - 1) {
+      c.encode_terminate(0);   // end_of_slice_segment_flag
+    } else if (!a.tile_mode || a.last_row) {
+      c.encode_terminate(1);   // true slice end
+    } else {
+      // tile end: end_of_slice_segment_flag = 0, then
+      // end_of_subset_one_bit = 1 + byte alignment
+      c.encode_terminate(0);
+      c.encode_terminate(1);
+    }
   }
   c.finish();
   c.align_one();
@@ -648,6 +658,7 @@ extern "C" {
 // hdr_bits. Outputs all row RBSPs concatenated into `out` with sizes
 // in row_sizes. Returns total bytes, or -1 on insufficient capacity.
 int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
+                          int tile_mode,
                           const uint8_t* hdr_bytes,
                           const int32_t* hdr_bits, int hdr_stride,
                           const uint8_t* ctx_init, int n_ctx,
@@ -665,6 +676,8 @@ int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
       a.ncw = ncw;
       a.idr = idr;
       a.is_b = is_b;
+      a.tile_mode = tile_mode;
+      a.last_row = cy == nch - 1;
       a.hdr_bytes = hdr_bytes + static_cast<int64_t>(cy) * hdr_stride;
       a.hdr_bits = hdr_bits[cy];
       a.ctx_init = ctx_init;
