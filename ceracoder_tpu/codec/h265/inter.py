@@ -315,26 +315,47 @@ def mc_chroma_qpel(ref_c: np.ndarray, mv_q: np.ndarray,
     return np.clip((acc + 2048) >> 12, 0, 255).astype(np.int32)
 
 
+def satd8_frame(diff: np.ndarray) -> np.ndarray:
+    """Sum of 8x8 Hadamard-transformed absolute differences per 16x16
+    CU. diff: (H, W) int. The cost metric for sub-pel refinement
+    (SAD cannot rank the low-pass fractional-sample positions)."""
+    h, w = diff.shape
+    d = diff.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    d = d.astype(np.int64)
+    t = _H8 @ d @ _H8
+    s8 = np.abs(t).sum((-1, -2)) >> 2          # (h/8, w/8)
+    return s8.reshape(h // 16, 2, w // 16, 2).sum((1, 3))
+
+
+def _hadamard8() -> np.ndarray:
+    hm = np.array([[1]])
+    while hm.shape[0] < 8:
+        hm = np.block([[hm, hm], [hm, -hm]])
+    return hm
+
+
+_H8 = _hadamard8()
+
+
 def refine_subpel(cur_y: np.ndarray, planes: np.ndarray,
                   mv_full: np.ndarray) -> np.ndarray:
-    """Half- then quarter-pel SAD refinement around the full-pel
+    """Half- then quarter-pel SATD refinement around the full-pel
     winner. Candidate order is SUBPEL_OFFS (scaled by the step);
-    strictly-better SAD wins, ties keep the earlier candidate.
+    strictly-better cost wins, ties keep the earlier candidate.
     Returns (nch, ncw, 2) qpel MVs."""
     h, w = cur_y.shape
     nch, ncw = h // 16, w // 16
     cur = cur_y.astype(np.int64)
     mv_q = mv_full.astype(np.int32) * 4
     for step in (2, 1):
-        best_sad = np.full((nch, ncw), 1 << 60, np.int64)
+        best_cost = np.full((nch, ncw), 1 << 60, np.int64)
         best_mv = mv_q.copy()
         for dy, dx in SUBPEL_OFFS:
             cand = mv_q + np.array([dy * step, dx * step], np.int32)
             pred = mc_luma_qpel(planes, cand, h, w)
-            sad = (np.abs(cur - pred)
-                   .reshape(nch, 16, ncw, 16).sum((1, 3)))
-            better = sad < best_sad
-            best_sad = np.where(better, sad, best_sad)
+            cost = satd8_frame(cur - pred)
+            better = cost < best_cost
+            best_cost = np.where(better, cost, best_cost)
             best_mv = np.where(better[..., None], cand, best_mv)
         mv_q = best_mv
     return mv_q

@@ -290,9 +290,26 @@ def _mc_luma_qpel(planes, mv_q, h: int, w: int):
     return planes[sel, ri, ci]
 
 
+_H8 = np.array([[1]])
+while _H8.shape[0] < 8:
+    _H8 = np.block([[_H8, _H8], [_H8, -_H8]])
+
+
+def _satd8_frame(diff):
+    """Per-16x16-CU sum of 8x8 Hadamard SATD (device twin of
+    inter.satd8_frame). diff: (H, W) int32."""
+    h, w = diff.shape
+    d = diff.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    hm = jnp.asarray(_H8, jnp.int32)
+    t = jnp.einsum("ij,abjk,kl->abil", hm, d, hm,
+                   preferred_element_type=jnp.int32)
+    s8 = jnp.abs(t).sum((-1, -2)) >> 2
+    return s8.reshape(h // CTB, 2, w // CTB, 2).sum((1, 3))
+
+
 def _refine_subpel(cur, planes, mv_full, h: int, w: int):
-    """Half- then quarter-pel SAD refinement (device twin of
-    inter.refine_subpel: packed sad|rank keys reproduce the
+    """Half- then quarter-pel SATD refinement (device twin of
+    inter.refine_subpel: packed cost|rank keys reproduce the
     strictly-better / earlier-candidate-wins order)."""
     nch, ncw = h // CTB, w // CTB
     mv_q = mv_full * 4
@@ -303,9 +320,8 @@ def _refine_subpel(cur, planes, mv_full, h: int, w: int):
                  jnp.full((nch, ncw), _SUB_DX[k] * step, jnp.int32)],
                 axis=-1)
             pred = _mc_luma_qpel(planes, cand, h, w)
-            sad = jnp.abs(cur - pred).reshape(nch, CTB, ncw,
-                                              CTB).sum((1, 3))
-            return (sad << 4) | k, cand
+            cost = _satd8_frame(cur - pred)
+            return (cost << 4) | k, cand
 
         keys, cands = zip(*[key_of(k) for k in range(9)])
         keys = jnp.stack(keys)                    # (9, nch, ncw)
