@@ -327,6 +327,24 @@ def satd8_frame(diff: np.ndarray) -> np.ndarray:
     return s8.reshape(h // 16, 2, w // 16, 2).sum((1, 3))
 
 
+def satd8_block(diff: np.ndarray) -> int:
+    """8x8 Hadamard SATD of one square residual block (side a
+    multiple of 8)."""
+    return int(satd8_frame(np.asarray(diff)).sum()) \
+        if diff.shape[0] >= 16 else _satd8_small(diff)
+
+
+def _satd8_small(diff: np.ndarray) -> int:
+    d = np.asarray(diff).astype(np.int64)
+    n = d.shape[0]
+    total = 0
+    for by in range(0, n, 8):
+        for bx in range(0, n, 8):
+            t = _H8 @ d[by:by + 8, bx:bx + 8] @ _H8
+            total += int(np.abs(t).sum()) >> 2
+    return total
+
+
 def _hadamard8() -> np.ndarray:
     hm = np.array([[1]])
     while hm.shape[0] < 8:

@@ -35,6 +35,7 @@ from ceracoder_tpu.codec.h265.ctx_tables import build_slice_contexts
 from ceracoder_tpu.codec.h265.encoder import _mpm_list, _pad
 from ceracoder_tpu.codec.h265.inter import (
     bi_combine_frame,
+    satd8_block,
     encode_mvd,
     luma_qpel_planes,
     luma_qpel_planes14,
@@ -112,7 +113,7 @@ def compute_intra_rows(y, u, v, qp: int, qp_c: int):
             best, best_pred, best_sad = None, None, 1 << 30
             for m in I.CAND_MODES:
                 pr = I.predict(m, *lref, CTB, 0)
-                sad = int(np.abs(src - pr).sum())
+                sad = int(satd8_block(src - pr))
                 if sad < best_sad:
                     best, best_pred, best_sad = m, pr, sad
             mode[cy, cx] = best
@@ -184,12 +185,12 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
             src = y[y0:y0 + CTB, x0:x0 + CTB]
             mv_q = (int(mvs_q[cy, cx, 0]), int(mvs_q[cy, cx, 1]))
             pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
-            inter_sad = int(np.abs(src - pred_y).sum())
+            inter_sad = int(satd8_block(src - pred_y))
             lref = _ref_samples_row(rec_y, x0, y0, CTB)
             ibest, ipred, isad = None, None, 1 << 30
             for m in I.CAND_MODES:
                 pr = I.predict(m, *lref, CTB, 0)
-                sad = int(np.abs(src - pr).sum())
+                sad = int(satd8_block(src - pr))
                 if sad < isad:
                     ibest, ipred, isad = m, pr, sad
             nc = CTB // 2
@@ -266,12 +267,12 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
             x0, y0 = cx * CTB, cy * CTB
             src = y[y0:y0 + CTB, x0:x0 + CTB]
             pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
-            inter_sad = int(np.abs(src - pred_y).sum())
+            inter_sad = int(satd8_block(src - pred_y))
             lref = _ref_samples_row(rec_y, x0, y0, CTB)
             ibest, ipred, isad = None, None, 1 << 30
             for m in I.CAND_MODES:
                 pr = I.predict(m, *lref, CTB, 0)
-                sad = int(np.abs(src - pr).sum())
+                sad = int(satd8_block(src - pr))
                 if sad < isad:
                     ibest, ipred, isad = m, pr, sad
             nc = CTB // 2

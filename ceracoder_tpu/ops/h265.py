@@ -307,6 +307,18 @@ def _satd8_frame(diff):
     return s8.reshape(h // CTB, 2, w // CTB, 2).sum((1, 3))
 
 
+def _satd8_blocks(d):
+    """8x8 Hadamard SATD per 16x16 block: d (..., 16, 16) int32 ->
+    (...) int32 (device twin of inter.satd8_block)."""
+    lead = d.shape[:-2]
+    d4 = d.reshape(*lead, 2, 8, 2, 8)
+    hm = jnp.asarray(_H8, jnp.int32)
+    t = jnp.einsum("ij,...ajbk,kl->...abil", hm, d4, hm,
+                   preferred_element_type=jnp.int32)
+    s8 = jnp.abs(t).sum((-1, -2)) >> 2
+    return s8.sum((-1, -2))
+
+
 def _refine_subpel(cur, planes, mv_full, h: int, w: int):
     """Half- then quarter-pel SATD refinement (device twin of
     inter.refine_subpel: packed cost|rank keys reproduce the
@@ -566,8 +578,8 @@ def _from_cols(cols):
 def _intra_col(ly, lu, lv, sy, su, sv, qp, qp_c, t16, t8):
     """One CTB column of intra coding for all rows. Carries the right
     recon columns; returns per-row (mode, levels, recon tiles)."""
-    preds = _intra_preds(ly, CTB, luma=True)            # (R, 4, 16, 16)
-    sad = jnp.abs(sy[:, None] - preds).sum((-1, -2))    # (R, 4)
+    preds = _intra_preds(ly, CTB, luma=True)         # (R, M, 16, 16)
+    sad = _satd8_blocks(sy[:, None] - preds)         # (R, M)
     midx = jnp.argmin(sad, axis=1)
     best = jnp.take_along_axis(
         preds, midx[:, None, None, None], axis=1)[:, 0]
@@ -774,8 +786,7 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
     t16 = jnp.asarray(T16, jnp.int32)
     t8 = jnp.asarray(T8, jnp.int32)
 
-    inter_sad = (jnp.abs(y - pred_y)
-                 .reshape(nch, CTB, ncw, CTB).sum((1, 3)))
+    inter_sad = _satd8_frame(y - pred_y)
 
     # inter residuals (carry-independent: outside the scan)
     ilv_y, irec_y = _code_tu(_col_view(y, CTB), _col_view(pred_y, CTB),
@@ -797,7 +808,7 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
         sy, su, sv, int_lvs, int_recs, isad = xs
 
         preds = _intra_preds(ly, CTB, luma=True)
-        sads = jnp.abs(sy[:, None] - preds).sum((-1, -2))
+        sads = _satd8_blocks(sy[:, None] - preds)
         midx = jnp.argmin(sads, axis=1)
         intra_sad = jnp.min(sads, axis=1)
         use_intra = intra_sad * 4 < isad * 3          # (R,)
