@@ -28,6 +28,7 @@ class CliOptions:
     reduced_pkt_size: bool = False
     bitrate_file: Optional[str] = None
     balancer: Optional[str] = None
+    stats_file: Optional[str] = None
 
 
 def usage() -> str:
@@ -38,6 +39,7 @@ Options:
   -c <config file>    Configuration file (INI format)
   -d <delay>          Audio-video delay in milliseconds
   -s <streamid>       SRT stream ID
+  -t <file>           Write per-tick controller state as JSON lines
   -l <latency>        SRT latency in milliseconds
   -r                  Reduced SRT packet size
   -b <bitrate file>   Bitrate settings file (legacy, use -c instead)
@@ -69,12 +71,14 @@ def parse_args(argv: list[str]) -> CliOptions:
             raise SystemExit(0)
         elif a == "-r":
             opts.reduced_pkt_size = True
-        elif a in ("-c", "-d", "-s", "-l", "-b", "-a"):
+        elif a in ("-c", "-d", "-s", "-l", "-b", "-a", "-t"):
             if i + 1 >= len(argv):
                 raise CliError(f"missing argument for {a}\n\n" + usage())
             val = argv[i + 1]
             i += 1
-            if a == "-c":
+            if a == "-t":
+                opts.stats_file = val
+            elif a == "-c":
                 opts.config_file = val
             elif a == "-d":
                 try:

@@ -190,6 +190,10 @@ class CeracoderApp:
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0
         self.overlay_line = ""
+        # structured telemetry sink (SURVEY.md §5: structured version
+        # of the overlay's per-tick controller state)
+        self._stats_fh = (open(opts.stats_file, "w")
+                          if getattr(opts, "stats_file", None) else None)
 
     # -- signal handling (reference: src/ceracoder.c:126-145,441-443)
     def _install_signals(self):
@@ -260,13 +264,18 @@ class CeracoderApp:
         out = self.runner.step(inp)
         self.cur_bitrate = out.new_bitrate
         self.overlay_line = overlay_text(out)
-        if self.keep_ticks:
-            self.state.ticks.append(TickLog(
+        if self.keep_ticks or self._stats_fh:
+            tick = TickLog(
                 t_ms=now_ms, bitrate=out.new_bitrate,
                 qp=self.rate.current_qp, throughput=out.throughput,
                 rtt=out.rtt, rtt_th_min=out.rtt_th_min,
                 rtt_th_max=out.rtt_th_max, bs=out.bs, bs_th1=out.bs_th1,
-                bs_th2=out.bs_th2, bs_th3=out.bs_th3).as_dict())
+                bs_th2=out.bs_th2, bs_th3=out.bs_th3).as_dict()
+            if self.keep_ticks:
+                self.state.ticks.append(tick)
+            if self._stats_fh:
+                import json
+                self._stats_fh.write(json.dumps(tick) + "\n")
 
     def run(self) -> int:
         self._install_signals()
