@@ -376,6 +376,241 @@ class H265DeviceEncoder:
 
         return PendingFrame(finish, idr, qp)
 
+    def encode_run_b_async(self, frames=None, qp: int | None = None,
+                           source=None, indices=None,
+                           cap: int | None = None):
+        """Encode display-order frames with the IBPBP structure in
+        fused dispatches (one lax.scan over (B, P) pairs per GOP
+        segment; IDRs and odd tails go through single dispatches).
+        Returns (PendingFrame, poc, kind) tuples in coding order."""
+        import jax.numpy as jnp
+
+        from ceracoder_tpu.ops.h265 import (
+            LEVEL_CHUNK,
+            encode_run_pairs,
+        )
+
+        assert self.bframes, "encode_run_b_async requires bframes=1"
+        nf = len(frames) if frames is not None else len(indices)
+        qp = self.qp if qp is None else qp
+        qp_c = self._chroma_qp(qp)
+        n_ctb = (self.ph // CTB) * (self.pw // CTB)
+        cap = cap or max(2 * LEVEL_CHUNK, n_ctb * 48)
+        cap = -(-cap // LEVEL_CHUNK) * LEVEL_CHUNK
+
+        def get_planes(i):
+            if frames is not None:
+                t = frames[i]
+                return (self._pad_dev(t[0], self.ph, self.pw),
+                        self._pad_dev(t[1], self.ph // 2, self.pw // 2),
+                        self._pad_dev(t[2], self.ph // 2, self.pw // 2))
+            return None
+
+        out = []
+        i = 0
+        while i < nf:
+            if self._ref is None or self._poc >= self.gop:
+                pf = self._dispatch_frame_i(i, frames, source, indices,
+                                            qp, qp_c)
+                out.append((pf, 0, "I"))
+                self._poc = 1
+                i += 1
+                continue
+            # pairs until the GOP boundary or frames run out; a pair's
+            # B sits at poc0 + 2k and its P at poc0 + 2k + 1, which
+            # must stay below the IDR trigger (poc >= gop)
+            npair = 0
+            poc0 = self._poc
+            while (i + 2 * (npair + 1) <= nf
+                   and poc0 + 2 * npair <= self.gop - 2):
+                npair += 1
+            if npair == 0:
+                # odd tail (or GOP leaves one slot): plain P
+                pf = self._dispatch_frame_p(i, frames, source, indices,
+                                            qp, qp_c, self._poc, 1)
+                out.append((pf, self._poc, "P"))
+                self._poc += 1
+                i += 1
+                continue
+            out += self._dispatch_pairs(i, npair, frames, source,
+                                        indices, qp, qp_c, cap)
+            i += 2 * npair
+            self._poc += 2 * npair
+        return out
+
+    def _dispatch_frame_i(self, i, frames, source, indices, qp, qp_c):
+        if frames is not None:
+            y, u, v = frames[i]
+        else:
+            y, u, v = source.gen_fn(int(indices[i]))
+        return self._dispatch(y, u, v, qp, qp_c, idr=True, poc=0,
+                              ref_delta=1)
+
+    def _dispatch_frame_p(self, i, frames, source, indices, qp, qp_c,
+                          poc, ref_delta):
+        if frames is not None:
+            y, u, v = frames[i]
+        else:
+            y, u, v = source.gen_fn(int(indices[i]))
+        return self._dispatch(y, u, v, qp, qp_c, idr=False, poc=poc,
+                              ref_delta=ref_delta)
+
+    def _dispatch_pairs(self, i0, npair, frames, source, indices, qp,
+                        qp_c, cap):
+        import jax.numpy as jnp
+
+        from ceracoder_tpu.ops.h265 import encode_run_pairs
+
+        poc0 = self._poc
+        run_ref = self._ref
+        if frames is not None:
+            def stack(sel, pi):
+                return jnp.stack([
+                    self._pad_dev(frames[i0 + 2 * k + pi][sel],
+                                  self.ph if sel == 0 else self.ph // 2,
+                                  self.pw if sel == 0 else self.pw // 2)
+                    for k in range(npair)])
+            ybs, ubs, vbs = stack(0, 0), stack(1, 0), stack(2, 0)
+            yps, ups, vps = stack(0, 1), stack(1, 1), stack(2, 1)
+            source_fn = None
+            fidx_b = np.zeros(npair, np.int32)
+            fidx_p = np.zeros(npair, np.int32)
+        else:
+            dummy = jnp.zeros((npair, 1, 1), jnp.uint8)
+            ybs = ubs = vbs = yps = ups = vps = dummy
+            source_fn = source.gen_fn
+            fidx_b = np.asarray(
+                [indices[i0 + 2 * k] for k in range(npair)], np.int32)
+            fidx_p = np.asarray(
+                [indices[i0 + 2 * k + 1] for k in range(npair)],
+                np.int32)
+
+        qa = jnp.full(npair, qp, jnp.int32)
+        qca = jnp.full(npair, qp_c, jnp.int32)
+        outs = encode_run_pairs(
+            ybs, ubs, vbs, yps, ups, vps, qa, qca, qa, qca,
+            *run_ref, jnp.asarray(fidx_b), jnp.asarray(fidx_p),
+            cap=cap, deblock=self.deblock, source_fn=source_fn)
+        self._ref = tuple(r[-1] for r in outs["p"]["recon"])
+
+        for key in ("p", "b"):
+            for name in ("is_intra", "mode", "mv", "counts", "nnz"):
+                try:
+                    outs[key][name].copy_to_host_async()
+                except AttributeError:
+                    pass
+
+        cache: dict = {}
+
+        def get(key, name, c=None):
+            k = (key, name, c)
+            if k not in cache:
+                cache[k] = np.asarray(
+                    outs[key][name] if c is None
+                    else outs[key][name][c])
+            return cache[k]
+
+        res = []
+        for k in range(npair):
+            poc_p = poc0 + 2 * k + 1
+            poc_b = poc0 + 2 * k
+            pf_p = self._pair_pending(outs, "p", k, qp, qp_c, poc_p,
+                                      get, cap, run_ref, frames,
+                                      source, fidx_b, fidx_p, i0)
+            pf_b = self._pair_pending(outs, "b", k, qp, qp_c, poc_b,
+                                      get, cap, run_ref, frames,
+                                      source, fidx_b, fidx_p, i0)
+            res.append((pf_p, poc_p, "P"))
+            res.append((pf_b, poc_b, "B"))
+        return res
+
+    def _pair_pending(self, outs, key, k, qp, qp_c, poc, get, cap,
+                      run_ref, frames, source, fidx_b, fidx_p, i0):
+        from ceracoder_tpu.codec.h265.rowslice import densify_levels
+        from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
+
+        is_b = key == "b"
+        nchunks = len(outs[key]["pos_chunks"])
+        recons = outs[key]["recon"]
+
+        def finish() -> EncodedFrame:
+            recon_dev = tuple(r[k] for r in recons)
+            nnz = int(get(key, "nnz")[k])
+            if nnz > cap:
+                data = self._pair_fallback(outs, key, k, qp, qp_c,
+                                           poc, run_ref, frames,
+                                           source, fidx_b, fidx_p, i0)
+                return EncodedFrame(data=data, keyframe=False, qp=qp,
+                                    _recon_dev=recon_dev)
+            need = max(1, -(-nnz // LEVEL_CHUNK))
+            pos = np.concatenate(
+                [get(key, "pos_chunks", c)[k] for c in range(need)])
+            val = np.concatenate(
+                [get(key, "val_chunks", c)[k] for c in range(need)])
+            arrays = {
+                "is_intra": get(key, "is_intra")[k],
+                "mode": get(key, "mode")[k],
+                "mv": get(key, "mv")[k],
+            }
+            if is_b:
+                arrays["mv1"] = np.asarray(outs[key]["mv1"][k])
+            arrays.update(densify_levels(get(key, "counts")[k],
+                                         pos, val))
+            rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
+                                  ref_delta=1 if is_b else 2,
+                                  slice_type="B" if is_b else None)
+            ntype = NAL_TRAIL_N if is_b else NAL_TRAIL_R
+            data = b"".join(
+                nal_unit(ntype, r, long_start_code=(i == 0))
+                for i, r in enumerate(rbsps))
+            return EncodedFrame(data=data, keyframe=False, qp=qp,
+                                _recon_dev=recon_dev)
+
+        return PendingFrame(finish, False, qp)
+
+    def _pair_fallback(self, outs, key, k, qp, qp_c, poc, run_ref,
+                       frames, source, fidx_b, fidx_p, i0) -> bytes:
+        """Redo one overflowing pair frame on the host path."""
+        from ceracoder_tpu.codec.h265.rowslice import (
+            compute_b_rows,
+            compute_p_rows,
+        )
+        from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
+
+        def planes_of(disp_i):
+            if frames is not None:
+                y, u, v = frames[disp_i]
+            else:
+                idx = (fidx_b if (disp_i - i0) % 2 == 0
+                       else fidx_p)[(disp_i - i0) // 2]
+                y, u, v = (np.asarray(p) for p in source.gen_fn(int(idx)))
+            return (np.asarray(self._pad_dev(y, self.ph, self.pw)),
+                    np.asarray(self._pad_dev(u, self.ph // 2,
+                                             self.pw // 2)),
+                    np.asarray(self._pad_dev(v, self.ph // 2,
+                                             self.pw // 2)))
+
+        past = (run_ref if k == 0
+                else tuple(r[k - 1] for r in outs["p"]["recon"]))
+        past = tuple(np.asarray(p).astype(np.int32) for p in past)
+        if key == "p":
+            y, u, v = planes_of(i0 + 2 * k + 1)
+            arrays, _ = compute_p_rows(y, u, v, past, qp, qp_c)
+            rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
+                                  ref_delta=2)
+            ntype = NAL_TRAIL_R
+        else:
+            fut = tuple(np.asarray(r[k]).astype(np.int32)
+                        for r in outs["p"]["recon"])
+            y, u, v = planes_of(i0 + 2 * k)
+            arrays, _ = compute_b_rows(y, u, v, past, fut, qp, qp_c)
+            rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
+                                  slice_type="B")
+            ntype = NAL_TRAIL_N
+        return b"".join(nal_unit(ntype, r, long_start_code=(i == 0))
+                        for i, r in enumerate(rbsps))
+
     def _host_fallback(self, f, idr, qp, qp_c, poc, recons, run_ref,
                        frames, source, fidx) -> bytes:
         """Redo one overflowing frame exactly on the host path,

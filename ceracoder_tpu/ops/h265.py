@@ -936,3 +936,70 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
 
 
 LEVEL_CHUNK = 32768      # sparse-level entries per transfer chunk
+
+
+@partial(jax.jit,
+         static_argnames=("cap", "deblock", "source_fn"))
+def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
+                     qps_b, qpcs_b, qps_p, qpcs_p,
+                     ref_y, ref_u, ref_v, fidx_b, fidx_p,
+                     cap: int, deblock: bool, source_fn=None):
+    """Encode an IBPBP segment's (B, P) display pairs in ONE dispatch.
+
+    Pair i covers display frames (2i, 2i+1) after the segment's
+    reference: the P frame (display 2i+1) codes first against the
+    carried reference at delta 2, then the B frame (display 2i)
+    bi-predicts between the old and new references. The scan carries
+    the deblocked P recon. Outputs stacked per pair: "p" and "b"
+    sub-dicts with the same fields as encode_run_rows (B adds mv1).
+    """
+
+    def one(ref, yb, ub, vb, yp, up, vp, qpb, qpcb, qpp, qpcp):
+        outs_p = _p_frame_core(yp, up, vp, *ref, qpp, qpcp)
+        cbf_p = outs_p["luma_lv"].reshape(
+            *outs_p["luma_lv"].shape[:2], -1).any(-1)
+        rec_p = deblock_frame_dev(*outs_p["recon"], outs_p["is_intra"],
+                                  cbf_p, outs_p["mv"], qpp) \
+            if deblock else outs_p["recon"]
+        outs_b = _b_frame_core(yb, ub, vb, *ref, *rec_p, qpb, qpcb)
+        cbf_b = outs_b["luma_lv"].reshape(
+            *outs_b["luma_lv"].shape[:2], -1).any(-1)
+        rec_b = deblock_frame_dev(*outs_b["recon"], outs_b["is_intra"],
+                                  cbf_b, outs_b["mv"], qpb,
+                                  outs_b["mv1"]) \
+            if deblock else outs_b["recon"]
+
+        def pack(o, rec, extra_mv1=None):
+            pos, val, counts, nnz = _compact_levels(
+                o["luma_lv"], o["cb_lv"], o["cr_lv"], cap)
+            d = {"is_intra": o["is_intra"], "mode": o["mode"],
+                 "mv": o["mv"], "pos": pos, "val": val,
+                 "counts": counts, "nnz": nnz, "recon": rec}
+            if extra_mv1 is not None:
+                d["mv1"] = extra_mv1
+            return d
+
+        out = {"p": pack(outs_p, rec_p),
+               "b": pack(outs_b, rec_b, outs_b["mv1"])}
+        return rec_p, out
+
+    def step(ref, xs):
+        yb, ub, vb, yp, up, vp, qpb, qpcb, qpp, qpcp, fib, fip = xs
+        if source_fn is not None:
+            yb, ub, vb = source_fn(fib)
+            yp, up, vp = source_fn(fip)
+        return one(ref, yb, ub, vb, yp, up, vp, qpb, qpcb, qpp, qpcp)
+
+    _, outs = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v),
+        (ybs, ubs, vbs, yps, ups, vps, qps_b, qpcs_b, qps_p, qpcs_p,
+         fidx_b, fidx_p))
+    # chunk the level streams like encode_run_rows
+    n = qps_b.shape[0]
+    nchunk = cap // LEVEL_CHUNK
+    for key in ("p", "b"):
+        pos = outs[key].pop("pos").reshape(n, nchunk, LEVEL_CHUNK)
+        val = outs[key].pop("val").reshape(n, nchunk, LEVEL_CHUNK)
+        outs[key]["pos_chunks"] = tuple(pos[:, c] for c in range(nchunk))
+        outs[key]["val_chunks"] = tuple(val[:, c] for c in range(nchunk))
+    return outs

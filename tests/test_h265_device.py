@@ -259,6 +259,42 @@ class TestDeviceEncoderConformance:
                 hh, ww = dp.shape
                 assert np.array_equal(dp, rp[:hh, :ww]), (i, nm)
 
+    def test_b_run_dispatch_matches_push_path(self, tmp_path):
+        """The fused (B, P)-pair scan must reproduce the per-frame
+        push path exactly across GOP boundaries and odd tails, and
+        the stream must decode bit-exact in display order."""
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = _panning(9)
+        r = H265DeviceEncoder(96, 64, qp=30, gop=6, bframes=1)
+        ref_out = []
+        for f in frames:
+            ref_out += r.push_frame(*f)
+        ref_out += r.flush()
+        ref_stream = b"".join(t[0] for t in ref_out)
+
+        d = H265DeviceEncoder(96, 64, qp=30, gop=6, bframes=1)
+        run = d.encode_run_b_async(frames)
+        items = [(t[0].result(), t[1], t[2]) for t in run]
+        assert b"".join(f.data for f, _, _ in items) == ref_stream
+
+        path = tmp_path / "brun.265"
+        path.write_bytes(d.headers() + ref_stream)
+        decoded = decode(path, 96, 64, len(frames))
+        # display order: segments of coding-order tuples sorted by poc
+        disp = []
+        seg = []
+        for f, poc, kind in items:
+            if kind == "I" and seg:
+                disp += sorted(seg, key=lambda t: t[1])
+                seg = []
+            seg.append((f, poc, kind))
+        disp += sorted(seg, key=lambda t: t[1])
+        for i, dec in enumerate(decoded):
+            rec = tuple(np.asarray(p) for p in disp[i][0].recon)
+            for dp, rp in zip(dec, rec):
+                hh, ww = dp.shape
+                assert np.array_equal(dp, rp[:hh, :ww]), i
+
     def test_matches_row_encoder_stream(self, tmp_path):
         """Device encoder and the numpy H265RowEncoder must emit the
         identical bitstream (same arrays -> same entropy)."""
