@@ -259,6 +259,49 @@ class TestDeviceEncoderConformance:
                 hh, ww = dp.shape
                 assert np.array_equal(dp, rp[:hh, :ww]), (i, nm)
 
+    def test_odd_dimensions_device(self, tmp_path):
+        """Non-CTB-aligned dims: device pads, SPS crops, oracle
+        decodes at the true size."""
+        frames = _panning(3, w=88, h=56)
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        enc = H265DeviceEncoder(88, 56, qp=31, gop=8)
+        out = enc.headers()
+        recs = []
+        for f in frames:
+            fr = enc.encode_frame(*f)
+            out += fr.data
+            recs.append(fr.recon)
+        path = tmp_path / "odd.265"
+        path.write_bytes(out)
+        decoded = decode(path, 88, 56, 3)
+        for i, (d, r) in enumerate(zip(decoded, recs)):
+            for dp, rp in zip(d, r):
+                hh, ww = dp.shape
+                assert np.array_equal(dp, np.asarray(rp)[:hh, :ww]), i
+
+    def test_wider_frame_arrays_match(self):
+        """A larger, non-square shape (uneven unroll path: 20 CTB
+        cols) must still match the numpy reference bit for bit."""
+        from ceracoder_tpu.ops.h265 import (
+            encode_frame_i_rows,
+            encode_frame_p_rows,
+        )
+        rng = np.random.default_rng(41)
+        w, h = 320, 48
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        ref, rec = compute_intra_rows(y, u, v, 31, 30)
+        arr, drec = _dev(encode_frame_i_rows(y, u, v, 31, 30))
+        for k in KEYS:
+            assert np.array_equal(ref[k], arr[k]), k
+        y2 = np.roll(y, (5, -7), (0, 1))
+        refp, _ = compute_p_rows(y2, u, v, rec, 31, 30)
+        arrp, _ = _dev(encode_frame_p_rows(
+            y2, u, v, *(r.astype(np.uint8) for r in rec), 31, 30))
+        for k in KEYS:
+            assert np.array_equal(refp[k], arrp[k]), k
+
     def test_b_run_dispatch_matches_push_path(self, tmp_path):
         """The fused (B, P)-pair scan must reproduce the per-frame
         push path exactly across GOP boundaries and odd tails, and
