@@ -84,6 +84,10 @@ GREATER1 = [
 GREATER2 = [[138, 153, 136, 167, 152, 152], [107, 167, 91, 122, 107, 167],
             [107, 167, 91, 107, 107, 167]]
 
+# SAO (spec Table 9-5/9-6)
+SAO_MERGE = [[153], [153], [153]]
+SAO_TYPE_IDX = [[200], [185], [160]]
+
 # sig_coeff_flag ctxIdxMap for 4x4 TUs (spec 9.3.4.2.5)
 SIG_CTX_MAP_4x4 = np.array([0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7,
                             8, 8], np.int32)
@@ -111,6 +115,8 @@ _LAYOUT = [
     ("mvd_gr", MVD_GREATER),
     ("rqt_root_cbf", QT_ROOT_CBF),
     ("inter_pred_idc", INTER_PRED_IDC),
+    ("sao_merge", SAO_MERGE),
+    ("sao_type", SAO_TYPE_IDX),
 ]
 
 

@@ -46,7 +46,7 @@ class H265DeviceEncoder:
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
                  deblock: bool = True, bframes: int = 0,
-                 tile_rows: bool = True):
+                 tile_rows: bool = True, sao: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -54,13 +54,14 @@ class H265DeviceEncoder:
         self.gop = max(1, gop)
         self.native_entropy = native_entropy
         self.deblock = deblock
+        self.sao = sao
         self.bframes = 1 if bframes else 0
         self._chroma_qp = chroma_qp
         self.params = HevcParams(width=width, height=height, qp=qp,
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
                                  max_dpb_minus1=1 + self.bframes,
-                                 tile_rows=tile_rows)
+                                 tile_rows=tile_rows, sao=sao)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None              # device recon planes
@@ -159,6 +160,12 @@ class H265DeviceEncoder:
         arrays = {k: np.asarray(outs[k]) for k in
                   ("is_intra", "mode", "mv", "mv1", "luma_lv",
                    "cb_lv", "cr_lv")}
+        if self.sao:
+            from ceracoder_tpu.ops.h265 import (
+                sao_apply_dev, sao_estimate_dev)
+            sp = jax.jit(sao_estimate_dev)((yj, uj, vj), rec, qp)
+            rec = jax.jit(sao_apply_dev)(rec, sp)
+            arrays["sao"] = np.asarray(sp)
         rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
                               slice_type="B")
         from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
@@ -196,16 +203,25 @@ class H265DeviceEncoder:
             outs = encode_frame_i_rows(yj, uj, vj, qp, qp_c)
         else:
             outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp, qp_c)
+        sao_params = None
+        rec = outs["recon"]
         if self.deblock:
             import jax
 
             from ceracoder_tpu.ops.h265 import deblock_frame_dev
             cbf_l = outs["luma_lv"].reshape(
                 *outs["luma_lv"].shape[:2], -1).any(-1)
-            self._ref = jax.jit(deblock_frame_dev)(
+            rec = jax.jit(deblock_frame_dev)(
                 *outs["recon"], outs["is_intra"], cbf_l, outs["mv"], qp)
-        else:
-            self._ref = outs["recon"]
+        if self.sao:
+            import jax
+
+            from ceracoder_tpu.ops.h265 import (
+                sao_apply_dev, sao_estimate_dev)
+            sao_params = jax.jit(sao_estimate_dev)((yj, uj, vj), rec,
+                                                   qp)
+            rec = jax.jit(sao_apply_dev)(rec, sao_params)
+        self._ref = rec
 
         # compact for transfer: levels fit int16 (quantizer output of
         # 8-bit residuals is < 2^14 at any QP)
@@ -226,6 +242,8 @@ class H265DeviceEncoder:
 
         def finish() -> EncodedFrame:
             arrays = {k: np.asarray(a) for k, a in send.items()}
+            if sao_params is not None:
+                arrays["sao"] = np.asarray(sao_params)
             rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp,
                                   ref_delta=ref_delta)
             ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
@@ -302,12 +320,14 @@ class H265DeviceEncoder:
             ys, us, vs, jnp.asarray(idr_flags), jnp.asarray(qp_arr),
             jnp.asarray(qpc_arr), *prev_ref, jnp.asarray(fidx),
             cap=cap, any_idr=any_idr, deblock=self.deblock,
-            source_fn=source_fn)
+            sao=self.sao, source_fn=source_fn)
         recons = outs["recon"]
         self._ref = tuple(r[-1] for r in recons)
 
-        small = {k: outs[k] for k in ("is_intra", "mode", "mv",
-                                      "counts", "nnz")}
+        small_keys = ["is_intra", "mode", "mv", "counts", "nnz"]
+        if self.sao:
+            small_keys.append("sao")
+        small = {k: outs[k] for k in small_keys}
         for a in small.values():
             try:
                 a.copy_to_host_async()
@@ -349,9 +369,10 @@ class H265DeviceEncoder:
             recon_dev = tuple(r[f] for r in recons)
             nnz = int(get("nnz")[f])
             if nnz > cap:
+                sao_f = get("sao")[f] if self.sao else None
                 data = self._host_fallback(f, idr, qp, qp_c, poc,
                                            recons, run_ref, frames,
-                                           source, fidx)
+                                           source, fidx, sao_f)
                 return EncodedFrame(data=data, keyframe=idr, qp=qp,
                                     _recon_dev=recon_dev)
             need = max(1, -(-nnz // LEVEL_CHUNK))
@@ -365,6 +386,8 @@ class H265DeviceEncoder:
                 "mode": get("mode")[f],
                 "mv": get("mv")[f],
             }
+            if self.sao:
+                arrays["sao"] = get("sao")[f]
             arrays.update(densify_levels(get("counts")[f], pos, val))
             rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
             ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
@@ -490,11 +513,15 @@ class H265DeviceEncoder:
         outs = encode_run_pairs(
             ybs, ubs, vbs, yps, ups, vps, qa, qca, qa, qca,
             *run_ref, jnp.asarray(fidx_b), jnp.asarray(fidx_p),
-            cap=cap, deblock=self.deblock, source_fn=source_fn)
+            cap=cap, deblock=self.deblock, sao=self.sao,
+            source_fn=source_fn)
         self._ref = tuple(r[-1] for r in outs["p"]["recon"])
 
         for key in ("p", "b"):
-            for name in ("is_intra", "mode", "mv", "counts", "nnz"):
+            names = ["is_intra", "mode", "mv", "counts", "nnz"]
+            if self.sao:
+                names.append("sao")
+            for name in names:
                 try:
                     outs[key][name].copy_to_host_async()
                 except AttributeError:
@@ -555,6 +582,8 @@ class H265DeviceEncoder:
             }
             if is_b:
                 arrays["mv1"] = np.asarray(outs[key]["mv1"][k])
+            if self.sao:
+                arrays["sao"] = get(key, "sao")[k]
             arrays.update(densify_levels(get(key, "counts")[k],
                                          pos, val))
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
@@ -597,6 +626,8 @@ class H265DeviceEncoder:
         if key == "p":
             y, u, v = planes_of(i0 + 2 * k + 1)
             arrays, _ = compute_p_rows(y, u, v, past, qp, qp_c)
+            if self.sao:
+                arrays["sao"] = np.asarray(outs[key]["sao"][k])
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
                                   ref_delta=2)
             ntype = NAL_TRAIL_R
@@ -605,6 +636,8 @@ class H265DeviceEncoder:
                         for r in outs["p"]["recon"])
             y, u, v = planes_of(i0 + 2 * k)
             arrays, _ = compute_b_rows(y, u, v, past, fut, qp, qp_c)
+            if self.sao:
+                arrays["sao"] = np.asarray(outs[key]["sao"][k])
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
                                   slice_type="B")
             ntype = NAL_TRAIL_N
@@ -612,7 +645,7 @@ class H265DeviceEncoder:
                         for i, r in enumerate(rbsps))
 
     def _host_fallback(self, f, idr, qp, qp_c, poc, recons, run_ref,
-                       frames, source, fidx) -> bytes:
+                       frames, source, fidx, sao_f=None) -> bytes:
         """Redo one overflowing frame exactly on the host path,
         referencing the in-run (deblocked) reconstruction."""
         from ceracoder_tpu.codec.h265.rowslice import (
@@ -633,6 +666,8 @@ class H265DeviceEncoder:
             ref = run_ref if f == 0 else tuple(r[f - 1] for r in recons)
             ref = tuple(np.asarray(p).astype(np.int32) for p in ref)
             arrays, _ = compute_p_rows(y, u, v, ref, qp, qp_c)
+        if sao_f is not None:
+            arrays["sao"] = np.asarray(sao_f)
         rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
         ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
         return b"".join(nal_unit(ntype, r, long_start_code=(i == 0))

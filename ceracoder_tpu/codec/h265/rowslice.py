@@ -359,6 +359,7 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
     nch, ncw = is_intra.shape
     init_type = 0 if idr else (2 if is_b else 1)
     tiles = p.tile_rows and nch > 1
+    sao = arrays.get("sao") if p.sao else None
     out = []
     for cy in range(nch):
         enc = CabacEncoder()
@@ -379,6 +380,8 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
         left_mv = ((0, 0), (0, 0))    # per list
         left_skip = False
         for cx in range(ncw):
+            if sao is not None:
+                _code_sao(enc, ctx, off, sao, cy, cx)
             intra_cu = bool(is_intra[cy, cx])
             cbf_l = 1 if luma_lv[cy, cx].any() else 0
             cbf_b = 1 if cb_lv[cy, cx].any() else 0
@@ -511,6 +514,42 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
     return out
 
 
+def _code_sao(enc, ctx, off, sao, cy: int, cx: int) -> None:
+    """sao() syntax for one CTB (spec 7.3.8.3): merge-left when the
+    params match, else type/offsets/band-or-class per component
+    (chroma shares type and class; the above row is another
+    slice/tile, so merge-up is never available)."""
+    if cx > 0:
+        merge = bool((sao[cy, cx] == sao[cy, cx - 1]).all())
+        enc.encode_bin(ctx, off["sao_merge"], 1 if merge else 0)
+        if merge:
+            return
+    for ci in range(3):
+        t = int(sao[cy, cx, ci, 0])
+        cls = int(sao[cy, cx, ci, 1])
+        offs = [int(x) for x in sao[cy, cx, ci, 2:6]]
+        if ci < 2:
+            # sao_type_idx: TR cMax 2 — '0' off, '10' band, '11' edge
+            enc.encode_bin(ctx, off["sao_type"], 0 if t == 0 else 1)
+            if t:
+                enc.encode_bypass(1 if t == 2 else 0)
+        if t == 0:
+            continue
+        for v in offs:
+            a = abs(v)
+            for _ in range(a):
+                enc.encode_bypass(1)
+            if a < 7:
+                enc.encode_bypass(0)
+        if t == 1:
+            for v in offs:
+                if v:
+                    enc.encode_bypass(1 if v < 0 else 0)
+            enc.encode_bypass_bits(cls, 5)     # sao_band_position
+        elif ci < 2:
+            enc.encode_bypass_bits(cls, 2)     # sao_eo_class
+
+
 def _assemble_tiles(p: HevcParams, bodies: list[bytes], qp: int,
                     idr: bool, poc: int, ref_poc_delta: int,
                     slice_type, fwd_poc_delta: int = 1) -> bytes:
@@ -535,7 +574,7 @@ _NATIVE_OFF_ORDER = (
     "part_mode", "prev_intra", "chroma_pred", "cbf_luma", "cbf_chroma",
     "last_x", "last_y", "csbf", "sig", "gr1", "gr2", "split_cu", "skip",
     "pred_mode", "merge_flag", "merge_idx", "mvp_flag", "mvd_gr",
-    "rqt_root_cbf", "inter_pred_idc")
+    "rqt_root_cbf", "inter_pred_idc", "sao_merge", "sao_type")
 
 
 def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
@@ -596,8 +635,14 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
     out = np.zeros(cap, np.uint8)
     row_sizes = np.zeros(nch, np.int32)
     nt = n_threads or min(nch, os.cpu_count() or 1)
+    sao_arr = arrays.get("sao")
+    if p.sao and sao_arr is not None:
+        sao_arr = np.ascontiguousarray(sao_arr, np.int32)
+        sao_ptr = sao_arr.ctypes.data_as(ctypes.c_void_p)
+    else:
+        sao_ptr = None
     total = lib.hevc_entropy_rows(
-        nch, ncw, int(idr), int(is_b), int(tiles),
+        nch, ncw, int(idr), int(is_b), int(tiles), sao_ptr,
         hdr_bytes.ctypes.data_as(ctypes.c_void_p),
         hdr_bits.ctypes.data_as(ctypes.c_void_p), stride,
         ctx.ctypes.data_as(ctypes.c_void_p), len(ctx),
@@ -638,7 +683,7 @@ class H265RowEncoder:
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
                  deblock: bool = True, bframes: int = 0,
-                 tile_rows: bool = True):
+                 tile_rows: bool = True, sao: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         self.width, self.height = width, height
@@ -651,7 +696,7 @@ class H265RowEncoder:
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
                                  max_dpb_minus1=1 + self.bframes,
-                                 tile_rows=tile_rows)
+                                 tile_rows=tile_rows, sao=sao)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None
@@ -675,6 +720,19 @@ class H265RowEncoder:
         return deblock_frame(*rec, arrays["is_intra"], cbf_l,
                              arrays["mv"], self.qp,
                              mv1=arrays.get("mv1"))
+
+    def _post_filter(self, arrays, rec, planes):
+        """Frame post-pass: deblock, then SAO (estimated against the
+        source and recorded in the arrays for the entropy stage)."""
+        if self.deblock:
+            rec = self._deblocked(arrays, rec)
+        if self.params.sao:
+            from ceracoder_tpu.codec.h265.sao import (
+                sao_apply, sao_estimate)
+            params = sao_estimate(planes, rec, self.qp)
+            arrays["sao"] = params
+            rec = sao_apply(rec, params)
+        return rec
 
     def _crop(self, rec):
         return (rec[0][:self.height, :self.width].astype(np.uint8),
@@ -711,9 +769,8 @@ class H265RowEncoder:
         if idr:
             out += self.flush()
             arrays, rec = compute_intra_rows(*planes, self.qp, self.qp_c)
+            rec = self._post_filter(arrays, rec, planes)
             rbsps = self._entropy(arrays, idr=True, poc=0)
-            if self.deblock:
-                rec = self._deblocked(arrays, rec)
             self._ref = rec
             self.recon = self._crop(rec)
             self._poc = 1
@@ -759,10 +816,9 @@ class H265RowEncoder:
     def _encode_p(self, planes, poc: int, ref_delta: int):
         arrays, rec = compute_p_rows(*planes, self._ref,
                                      self.qp, self.qp_c)
+        rec = self._post_filter(arrays, rec, planes)
         rbsps = self._entropy(arrays, idr=False, poc=poc,
                               ref_poc_delta=ref_delta)
-        if self.deblock:
-            rec = self._deblocked(arrays, rec)
         self._ref = rec
         self.recon = self._crop(rec)
         return (self._wrap(NAL_TRAIL_R, rbsps), poc, "P", self.recon)
@@ -772,13 +828,12 @@ class H265RowEncoder:
         from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
 
         arrays, rec = compute_b_rows(*planes, past, fut, qp, qp_c)
+        sq = self.qp
+        self.qp = qp
+        rec = self._post_filter(arrays, rec, planes)
+        self.qp = sq
         rbsps = self._entropy(arrays, idr=False, poc=poc,
                               slice_type="B", qp_override=qp)
-        if self.deblock:
-            sq = self.qp
-            self.qp = qp
-            rec = self._deblocked(arrays, rec)
-            self.qp = sq
         return (self._wrap(NAL_TRAIL_N, rbsps), poc, "B",
                 self._crop(rec))
 

@@ -75,6 +75,8 @@ class HevcParams:
     # offsets instead of per-row slice headers — same row
     # independence, ~10 bytes/row less overhead). Requires >1 CTB row.
     tile_rows: bool = False
+    # sample adaptive offset (frame post-pass after deblocking)
+    sao: bool = False
 
     @property
     def ctb(self) -> int:
@@ -146,7 +148,7 @@ def write_sps(p: HevcParams) -> bytes:
     w.ue(0)         # max_transform_hierarchy_depth_intra
     w.flag(0)       # scaling_list_enabled_flag
     w.flag(0)       # amp_enabled_flag
-    w.flag(0)       # sample_adaptive_offset_enabled_flag
+    w.flag(p.sao)   # sample_adaptive_offset_enabled_flag
     w.flag(p.pcm_enabled)
     if p.pcm_enabled:
         w.u(7, 4)   # pcm_sample_bit_depth_luma_minus1
@@ -247,6 +249,10 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
             w.ue(fwd_poc_delta - 1)   # delta_poc_s1_minus1[0]
             w.flag(1)       # used_by_curr_pic_s1_flag[0]
         # (no temporal MVP flag: sps_temporal_mvp_enabled_flag = 0)
+    if p.sao:
+        w.flag(1)           # slice_sao_luma_flag
+        w.flag(1)           # slice_sao_chroma_flag
+    if not idr:
         w.flag(0)           # num_ref_idx_active_override_flag
         if st == "B":
             w.flag(0)       # mvd_l1_zero_flag

@@ -874,11 +874,12 @@ encode_frame_b_rows = jax.jit(_b_frame_core)
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit,
-         static_argnames=("cap", "any_idr", "deblock", "source_fn"))
+         static_argnames=("cap", "any_idr", "deblock", "sao",
+                          "source_fn"))
 def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
                     ref_y, ref_u, ref_v, frame_idx,
                     cap: int, any_idr: bool, deblock: bool,
-                    source_fn=None):
+                    sao: bool = False, source_fn=None):
     """Encode a run of frames in ONE compiled dispatch (the HEVC
     analog of codec/h264/device_entropy.encode_run_packed).
 
@@ -908,11 +909,15 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
                                     cbf, outs["mv"], qp)
         else:
             rec = outs["recon"]
+        out = {"is_intra": outs["is_intra"], "mode": outs["mode"],
+               "mv": outs["mv"]}
+        if sao:
+            sp = sao_estimate_dev((y, u, v), rec, qp)
+            rec = sao_apply_dev(rec, sp)
+            out["sao"] = sp
         pos, val, counts, nnz = _compact_levels(
             outs["luma_lv"], outs["cb_lv"], outs["cr_lv"], cap)
-        out = {"is_intra": outs["is_intra"], "mode": outs["mode"],
-               "mv": outs["mv"], "pos": pos, "val": val,
-               "counts": counts, "nnz": nnz, "recon": rec}
+        out.update(pos=pos, val=val, counts=counts, nnz=nnz, recon=rec)
         return rec, out
 
     def step(ref, xs):
@@ -939,11 +944,12 @@ LEVEL_CHUNK = 32768      # sparse-level entries per transfer chunk
 
 
 @partial(jax.jit,
-         static_argnames=("cap", "deblock", "source_fn"))
+         static_argnames=("cap", "deblock", "sao", "source_fn"))
 def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
                      qps_b, qpcs_b, qps_p, qpcs_p,
                      ref_y, ref_u, ref_v, fidx_b, fidx_p,
-                     cap: int, deblock: bool, source_fn=None):
+                     cap: int, deblock: bool, sao: bool = False,
+                     source_fn=None):
     """Encode an IBPBP segment's (B, P) display pairs in ONE dispatch.
 
     Pair i covers display frames (2i, 2i+1) after the segment's
@@ -961,6 +967,10 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
         rec_p = deblock_frame_dev(*outs_p["recon"], outs_p["is_intra"],
                                   cbf_p, outs_p["mv"], qpp) \
             if deblock else outs_p["recon"]
+        sao_p = None
+        if sao:
+            sao_p = sao_estimate_dev((yp, up, vp), rec_p, qpp)
+            rec_p = sao_apply_dev(rec_p, sao_p)
         outs_b = _b_frame_core(yb, ub, vb, *ref, *rec_p, qpb, qpcb)
         cbf_b = outs_b["luma_lv"].reshape(
             *outs_b["luma_lv"].shape[:2], -1).any(-1)
@@ -968,19 +978,25 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
                                   cbf_b, outs_b["mv"], qpb,
                                   outs_b["mv1"]) \
             if deblock else outs_b["recon"]
+        sao_b = None
+        if sao:
+            sao_b = sao_estimate_dev((yb, ub, vb), rec_b, qpb)
+            rec_b = sao_apply_dev(rec_b, sao_b)
 
-        def pack(o, rec, extra_mv1=None):
+        def pack(o, rec, sp, extra_mv1=None):
             pos, val, counts, nnz = _compact_levels(
                 o["luma_lv"], o["cb_lv"], o["cr_lv"], cap)
             d = {"is_intra": o["is_intra"], "mode": o["mode"],
                  "mv": o["mv"], "pos": pos, "val": val,
                  "counts": counts, "nnz": nnz, "recon": rec}
+            if sp is not None:
+                d["sao"] = sp
             if extra_mv1 is not None:
                 d["mv1"] = extra_mv1
             return d
 
-        out = {"p": pack(outs_p, rec_p),
-               "b": pack(outs_b, rec_b, outs_b["mv1"])}
+        out = {"p": pack(outs_p, rec_p, sao_p),
+               "b": pack(outs_b, rec_b, sao_b, outs_b["mv1"])}
         return rec_p, out
 
     def step(ref, xs):
@@ -1003,3 +1019,193 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
         outs[key]["pos_chunks"] = tuple(pos[:, c] for c in range(nchunk))
         outs[key]["val_chunks"] = tuple(val[:, c] for c in range(nchunk))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# SAO (spec 8.7.3; device twin of codec/h265/sao.py)
+# ---------------------------------------------------------------------------
+
+_EO_NEIGHBORS = ((0, -1, 0, 1), (-1, 0, 1, 0),
+                 (-1, -1, 1, 1), (-1, 1, 1, -1))
+
+
+def _eo_category_dev(p, n0, n1):
+    a = jnp.sign(p - n0) + jnp.sign(p - n1)
+    return jnp.select([a == -2, a == -1, a == 1, a == 2],
+                      [1, 2, 3, 4], 0)
+
+
+def _offset_gain_dev(sums, cnts, force_sign=0):
+    cnts = jnp.maximum(cnts, 1)
+    raw = (2 * jnp.abs(sums) + cnts) // (2 * cnts)
+    off = jnp.minimum(raw, 7) * jnp.sign(sums)
+    if force_sign > 0:
+        off = jnp.maximum(off, 0)
+    elif force_sign < 0:
+        off = jnp.minimum(off, 0)
+    gain = 2 * off * sums - cnts * off * off
+    off = jnp.where(gain > 0, off, 0)
+    gain = jnp.where(gain > 0, gain, 0)
+    return off.astype(jnp.int32), gain
+
+
+def _ctb_view_n(plane, n):
+    h, w = plane.shape
+    return plane.reshape(h // n, n, w // n, n).swapaxes(1, 2)
+
+
+def _sao_plane_stats(src, rec, n):
+    """Per-CTB edge-class and band stats for one plane (device twin of
+    sao._full_stats). Returns dict of eo_off (4,nch,ncw,4), eo_gain
+    (4,nch,ncw), bo_off (nch,ncw,32), bo_win (nch,ncw,29)."""
+    diff = src.astype(jnp.int32) - rec.astype(jnp.int32)
+    h, w = rec.shape
+    dv = _ctb_view_n(diff, n)
+    r = rec.astype(jnp.int32)
+    iy = jnp.arange(h) % n
+    ix = jnp.arange(w) % n
+    interior = (((iy > 0) & (iy < n - 1))[:, None]
+                & ((ix > 0) & (ix < n - 1))[None, :])
+
+    eo_offs, eo_gains = [], []
+    for dy0, dx0, dy1, dx1 in _EO_NEIGHBORS:
+        n0 = jnp.roll(r, (-dy0, -dx0), (0, 1))
+        n1 = jnp.roll(r, (-dy1, -dx1), (0, 1))
+        cat = jnp.where(interior, _eo_category_dev(r, n0, n1), 0)
+        catv = _ctb_view_n(cat, n)
+        offs, gain = [], 0
+        for k in (1, 2, 3, 4):
+            m = catv == k
+            cnts = m.sum((2, 3))
+            sums = jnp.where(m, dv, 0).sum((2, 3))
+            o, g = _offset_gain_dev(sums, cnts,
+                                    force_sign=1 if k <= 2 else -1)
+            offs.append(o)
+            gain = gain + g
+        eo_offs.append(jnp.stack(offs, -1))
+        eo_gains.append(gain)
+
+    band = _ctb_view_n(r >> 3, n)
+    bo_sums, bo_cnts = [], []
+    for b in range(32):
+        m = band == b
+        bo_cnts.append(m.sum((2, 3)))
+        bo_sums.append(jnp.where(m, dv, 0).sum((2, 3)))
+    ob, gb = _offset_gain_dev(jnp.stack(bo_sums, -1),
+                              jnp.stack(bo_cnts, -1))
+    win = jnp.stack([gb[..., s:s + 4].sum(-1) for s in range(29)], -1)
+    return {"eo_off": jnp.stack(eo_offs), "eo_gain": jnp.stack(eo_gains),
+            "bo_off": ob, "bo_win": win}
+
+
+def _sao_pick(stats_list, band_only: bool = False):
+    """Choose (type, cls, offsets per plane) maximizing the summed
+    gain over the given planes' stats (1 for luma, 2 for chroma)."""
+    nch, ncw = stats_list[0]["eo_gain"].shape[1:]
+    best_gain = jnp.zeros((nch, ncw), jnp.int32)
+    bt = jnp.zeros((nch, ncw), jnp.int32)
+    bc = jnp.zeros((nch, ncw), jnp.int32)
+    boffs = [jnp.zeros((nch, ncw, 4), jnp.int32) for _ in stats_list]
+
+    # band candidate
+    win = sum(s["bo_win"] for s in stats_list)
+    bp = jnp.argmax(win, -1).astype(jnp.int32)
+    bgain = jnp.take_along_axis(win, bp[..., None], -1)[..., 0]
+    take = bgain > best_gain
+    best_gain = jnp.where(take, bgain, best_gain)
+    bt = jnp.where(take, 1, bt)
+    bc = jnp.where(take, bp, bc)
+    for i, s in enumerate(stats_list):
+        offs = jnp.stack([
+            jnp.take_along_axis(s["bo_off"], bp[..., None] + k,
+                                -1)[..., 0]
+            for k in range(4)], -1)
+        boffs[i] = jnp.where(take[..., None], offs, boffs[i])
+
+    if not band_only:
+        for cls in range(4):
+            g = sum(s["eo_gain"][cls] for s in stats_list)
+            take = g > best_gain
+            best_gain = jnp.where(take, g, best_gain)
+            bt = jnp.where(take, 2, bt)
+            bc = jnp.where(take, cls, bc)
+            for i, s in enumerate(stats_list):
+                boffs[i] = jnp.where(take[..., None], s["eo_off"][cls],
+                                     boffs[i])
+    return bt, bc, boffs, best_gain
+
+
+def sao_estimate_dev(src_planes, rec_planes, qp=32):
+    """Device SAO parameter estimation (twin of sao.sao_estimate).
+    Returns (nch, ncw, 3, 6) int32 params."""
+    from ceracoder_tpu.codec.h265.sao import (
+        SAO_BITS_CHROMA, SAO_BITS_LUMA, SAO_LAMBDA)
+
+    y_s, u_s, v_s = (jnp.asarray(p) for p in src_planes)
+    y_r, u_r, v_r = (jnp.asarray(p) for p in rec_planes)
+    h, w = y_r.shape
+    nch, ncw = h // CTB, w // CTB
+    lam = jnp.asarray(SAO_LAMBDA, jnp.int32)[jnp.clip(qp, 0, 69)]
+    th_l = (lam * SAO_BITS_LUMA) // 16
+    th_c = (lam * SAO_BITS_CHROMA) // 16
+
+    sy = _sao_plane_stats(y_s, y_r, CTB)
+    ty, cy_, (oy,), gy = _sao_pick([sy])
+    keep = gy > th_l
+    ty = jnp.where(keep, ty, 0)
+    cy_ = jnp.where(keep, cy_, 0)
+    oy = jnp.where(keep[..., None], oy, 0)
+    su = _sao_plane_stats(u_s, u_r, CTB // 2)
+    sv = _sao_plane_stats(v_s, v_r, CTB // 2)
+    tc, cc, (ou, ov), gc = _sao_pick([su, sv], band_only=True)
+    keep_c = gc > th_c
+    tc = jnp.where(keep_c, tc, 0)
+    cc = jnp.where(keep_c, cc, 0)
+    ou = jnp.where(keep_c[..., None], ou, 0)
+    ov = jnp.where(keep_c[..., None], ov, 0)
+
+    params = jnp.zeros((nch, ncw, 3, 6), jnp.int32)
+    params = params.at[:, :, 0, 0].set(ty)
+    params = params.at[:, :, 0, 1].set(cy_)
+    params = params.at[:, :, 0, 2:].set(oy)
+    for ci, oc in ((1, ou), (2, ov)):
+        params = params.at[:, :, ci, 0].set(tc)
+        params = params.at[:, :, ci, 1].set(cc)
+        params = params.at[:, :, ci, 2:].set(oc)
+    return params
+
+
+def sao_apply_dev(rec_planes, params):
+    """Apply SAO params (twin of sao.sao_apply)."""
+    outs = []
+    for ci, rec in enumerate(rec_planes):
+        n = CTB if ci == 0 else CTB // 2
+        r = jnp.asarray(rec).astype(jnp.int32)
+        h, w = r.shape
+        ptype = params[:, :, ci, 0]
+        pcls = params[:, :, ci, 1]
+        offs = params[:, :, ci, 2:]
+        rep = lambda a: jnp.repeat(jnp.repeat(a, n, 0), n, 1)
+        t_full = rep(ptype)
+        bp = rep(pcls)
+        band = r >> 3
+        delta = jnp.zeros_like(r)
+        for i in range(4):
+            delta = jnp.where((t_full == 1) & (band == bp + i),
+                              rep(offs[..., i]), delta)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        for cls, (dy0, dx0, dy1, dx1) in enumerate(_EO_NEIGHBORS):
+            n0 = jnp.roll(r, (-dy0, -dx0), (0, 1))
+            n1 = jnp.roll(r, (-dy1, -dx1), (0, 1))
+            cat = _eo_category_dev(r, n0, n1)
+            ok = ((ys + dy0 >= 0) & (ys + dy0 < h)
+                  & (ys + dy1 >= 0) & (ys + dy1 < h)
+                  & (xs + dx0 >= 0) & (xs + dx0 < w)
+                  & (xs + dx1 >= 0) & (xs + dx1 < w))
+            sel = (t_full == 2) & rep(pcls == cls) & ok
+            for k in (1, 2, 3, 4):
+                delta = jnp.where(sel & (cat == k),
+                                  rep(offs[..., k - 1]), delta)
+        outs.append(jnp.clip(r + delta, 0, 255).astype(jnp.uint8))
+    return tuple(outs)

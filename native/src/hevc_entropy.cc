@@ -170,6 +170,8 @@ enum CtxOff {
   OFF_MVD_GR,
   OFF_RQT_ROOT_CBF,
   OFF_INTER_PRED_IDC,
+  OFF_SAO_MERGE,
+  OFF_SAO_TYPE,
   OFF_COUNT
 };
 
@@ -427,6 +429,41 @@ void encode_residual(Cabac& c, uint8_t* ctx, const int32_t* off,
   }
 }
 
+// sao() syntax for one CTB (spec 7.3.8.3; port of
+// codec/h265/rowslice.py:_code_sao)
+void code_sao(Cabac& c, uint8_t* ctx, const int32_t* off,
+              const int32_t* sao, int cx) {
+  const int32_t* cur = sao + cx * 18;
+  if (cx > 0) {
+    const int32_t* left = sao + (cx - 1) * 18;
+    bool merge = std::memcmp(cur, left, 18 * sizeof(int32_t)) == 0;
+    c.encode_bin(ctx, off[OFF_SAO_MERGE], merge ? 1 : 0);
+    if (merge) return;
+  }
+  for (int ci = 0; ci < 3; ci++) {
+    int t = cur[ci * 6 + 0];
+    int cls = cur[ci * 6 + 1];
+    const int32_t* offs = cur + ci * 6 + 2;
+    if (ci < 2) {
+      c.encode_bin(ctx, off[OFF_SAO_TYPE], t == 0 ? 0 : 1);
+      if (t) c.encode_bypass(t == 2 ? 1 : 0);
+    }
+    if (t == 0) continue;
+    for (int i = 0; i < 4; i++) {
+      int a = std::abs(offs[i]);
+      for (int k = 0; k < a; k++) c.encode_bypass(1);
+      if (a < 7) c.encode_bypass(0);
+    }
+    if (t == 1) {
+      for (int i = 0; i < 4; i++)
+        if (offs[i]) c.encode_bypass(offs[i] < 0 ? 1 : 0);
+      c.encode_bypass_bits(cls, 5);
+    } else if (ci < 2) {
+      c.encode_bypass_bits(cls, 2);
+    }
+  }
+}
+
 // MPM list (spec 8.4.2; port of codec/h265/encoder.py:_mpm_list)
 void mpm_list(int a, int b, int mpm[3]) {
   if (a == b) {
@@ -482,6 +519,7 @@ void encode_mvd(Cabac& c, uint8_t* ctx, const int32_t* off, int mvd_x,
 struct RowArgs {
   int ncw, idr, is_b;
   int tile_mode, last_row;  // tile substream vs standalone slice
+  const int32_t* sao;       // (ncw, 3, 6) per-CTB params, or null
   const uint8_t* hdr_bytes;  // this row's packed header bits
   int hdr_bits;
   const uint8_t* ctx_init;  // initialized context states (n_ctx)
@@ -513,6 +551,7 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
   int left_mv[2][2] = {{0, 0}, {0, 0}};  // per list
 
   for (int cx = 0; cx < a.ncw; cx++) {
+    if (a.sao) code_sao(c, cs, off, a.sao, cx);
     bool intra_cu = a.is_intra[cx] != 0;
     const int16_t* ll = a.luma_lv + cx * 256;
     const int16_t* lb = a.cb_lv + cx * 64;
@@ -658,7 +697,7 @@ extern "C" {
 // hdr_bits. Outputs all row RBSPs concatenated into `out` with sizes
 // in row_sizes. Returns total bytes, or -1 on insufficient capacity.
 int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
-                          int tile_mode,
+                          int tile_mode, const int32_t* sao,
                           const uint8_t* hdr_bytes,
                           const int32_t* hdr_bits, int hdr_stride,
                           const uint8_t* ctx_init, int n_ctx,
@@ -678,6 +717,7 @@ int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
       a.is_b = is_b;
       a.tile_mode = tile_mode;
       a.last_row = cy == nch - 1;
+      a.sao = sao ? sao + static_cast<int64_t>(cy) * ncw * 18 : nullptr;
       a.hdr_bytes = hdr_bytes + static_cast<int64_t>(cy) * hdr_stride;
       a.hdr_bits = hdr_bits[cy];
       a.ctx_init = ctx_init;
