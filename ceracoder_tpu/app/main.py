@@ -176,11 +176,15 @@ class CeracoderApp:
                     self.audio_src = WavSource(self.spec.audio_path)
                 else:
                     self.audio_src = ToneSource()
+                # -d > 0 delays audio (a_delay), -d < 0 delays video
+                # (v_delay) — reference: cb_delay wiring,
+                # src/ceracoder.c:341-344,525-533
+                a_extra = max(0, opts.av_delay)
                 self.audio = AudioPipeline(
                     sample_rate=self.audio_src.sample_rate,
                     channels=self.audio_src.channels,
                     bitrate=self.spec.audio_bitrate * 1000,
-                    delay_ms=self.spec.audio_delay_ms)
+                    delay_ms=self.spec.audio_delay_ms + a_extra)
             else:
                 print("audio requested but AAC encoder unavailable; "
                       "continuing video-only", file=sys.stderr)
@@ -308,7 +312,8 @@ class CeracoderApp:
                     au = self.encoder.headers() + au
                 self.rate.update(self.cur_bitrate, len(frame.data) * 8)
 
-                ts = self.mux.mux_video(au, pts90=pts,
+                v_delay90 = max(0, -self.opts.av_delay) * 90
+                ts = self.mux.mux_video(au, pts90=pts + v_delay90,
                                         keyframe=frame.keyframe)
                 if self.audio is not None:
                     # one video period's worth of samples keeps A/V in

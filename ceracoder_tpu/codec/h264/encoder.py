@@ -180,6 +180,14 @@ class H264Encoder:
     def headers(self) -> bytes:
         return write_sps(self.sps) + write_pps(self.pps)
 
+    def resume(self) -> None:
+        """Drop all transient state (reference chain, GOP position):
+        the next frame codes as a fresh IDR. The explicit form of the
+        reference's crash-and-restart recovery model (SURVEY.md §5:
+        "resume = restart at next IDR")."""
+        self._ref = None
+        self._gop_pos = 0
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None,
                      force_idr: bool = False) -> EncodedFrame:

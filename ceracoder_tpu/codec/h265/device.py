@@ -72,6 +72,14 @@ class H265DeviceEncoder:
         p = self.params
         return write_vps(p) + write_sps(p) + write_pps(p)
 
+    def resume(self) -> None:
+        """Drop all transient state (references, buffered B, GOP
+        position): the next frame codes as a fresh IDR (SURVEY.md §5
+        recovery model)."""
+        self._ref = None
+        self._pending = None
+        self._poc = 0
+
     def _pad_dev(self, plane, h, w):
         import jax.numpy as jnp
         plane = jnp.asarray(plane)

@@ -708,6 +708,13 @@ class H265RowEncoder:
         p = self.params
         return write_vps(p) + write_sps(p) + write_pps(p)
 
+    def resume(self) -> None:
+        """Drop all transient state: next frame is a fresh IDR
+        (SURVEY.md §5 recovery model)."""
+        self._ref = None
+        self._pending = None
+        self._poc = 0
+
     def _pad3(self, y, u, v):
         return (_pad(np.asarray(y), self.ph, self.pw),
                 _pad(np.asarray(u), self.ph // 2, self.pw // 2),
