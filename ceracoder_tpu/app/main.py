@@ -208,6 +208,17 @@ class CeracoderApp:
     def _flag_sighup(self):
         self.state.sighup = True
 
+    def _scene_cut(self, y, threshold: int = 48) -> bool:
+        """Mean absolute difference of 8x-downsampled luma between
+        consecutive source frames; a jump past the threshold is a cut."""
+        import numpy as np
+        small = np.asarray(y)[::8, ::8].astype(np.int32)
+        prev = getattr(self, "_prev_small", None)
+        self._prev_small = small
+        if prev is None or prev.shape != small.shape:
+            return False
+        return bool(np.abs(small - prev).mean() > threshold)
+
     def stop(self):
         if not self.state.quit:
             self.state.quit = True
@@ -306,7 +317,14 @@ class CeracoderApp:
 
                 y, u, v = pad_to_mb(y, u, v)
                 qp = self.rate.current_qp
-                frame = self.encoder.encode_frame(y, u, v, qp=qp)
+                # scene-cut detection: a cut coded as P is mostly
+                # intra-fallback CUs anyway; forcing a fresh IDR costs
+                # little and restarts the prediction chain (the
+                # adaptive analog of x264's scenecut; the reference's
+                # fixed-GOP encoders lack this)
+                cut = self._scene_cut(y)
+                frame = self.encoder.encode_frame(y, u, v, qp=qp,
+                                                  force_idr=cut)
                 au = frame.data
                 if frame.keyframe:
                     au = self.encoder.headers() + au

@@ -146,3 +146,49 @@ def test_app_end_to_end_file(tmp_path):
     assert "width=192 height=108" in r.stderr
     raw = np.fromfile(tmp_path / "o.yuv", np.uint8)
     assert raw.size >= 5 * 192 * 108 * 3 // 2
+
+
+def test_scene_cut_forces_idr(tmp_path):
+    """A hard cut mid-GOP must produce a fresh IDR (adaptive GOP)."""
+    import numpy as np
+
+    from ceracoder_tpu.app.jobspec import JobSpec
+    from ceracoder_tpu.app.main import CeracoderApp
+    from ceracoder_tpu.app.cli import CliOptions
+
+    # y4m with a hard cut at frame 3
+    import struct
+    w, h, n = 64, 48, 6
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 100, (h, w)).astype(np.uint8)
+    b = rng.integers(150, 255, (h, w)).astype(np.uint8)
+    path = tmp_path / "cut.y4m"
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C420\n")
+        for i in range(n):
+            f.write(b"FRAME\n")
+            y = a if i < 3 else b
+            f.write(y.tobytes())
+            f.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+    job = tmp_path / "job"
+    job.write_text(f"[source]\nkind = y4m\npath = {path}\n"
+                   "width = 64\nheight = 48\nfps = 30\n"
+                   "\n[encode]\ncodec = h264\ngop = 60\n")
+    out = tmp_path / "out.ts"
+    opts = CliOptions(job_file=str(job), addr=str(out), port=0)
+    app = CeracoderApp(opts, keep_ticks=False, max_frames=n,
+                       realtime=False)
+    keyframes = []
+    orig = app.encoder.encode_frame
+
+    def spy(y, u, v, qp=None, force_idr=False):
+        fr = orig(y, u, v, qp=qp, force_idr=force_idr)
+        keyframes.append(fr.keyframe)
+        return fr
+
+    app.encoder.encode_frame = spy
+    app.run()
+    assert keyframes[0] is True
+    assert keyframes[3] is True          # the cut
+    assert keyframes[1] is False and keyframes[4] is False
