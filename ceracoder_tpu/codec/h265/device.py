@@ -49,6 +49,10 @@ class H265DeviceEncoder:
                  tile_rows: bool = True, sao: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 requires even dimensions (the "
+                             "conformance window crops in 2-sample "
+                             "units)")
         self.width, self.height = width, height
         self.qp = qp
         self.gop = max(1, gop)
@@ -79,6 +83,29 @@ class H265DeviceEncoder:
         self._ref = None
         self._pending = None
         self._poc = 0
+
+    def _post_filter_dev(self, outs, src_planes, qp, mv1=None):
+        """Frame post-pass on device: deblock, then SAO (params
+        returned for the entropy stage). Uses the module-level jitted
+        entry points — a fresh jax.jit wrapper per frame would
+        re-trace every call."""
+        from ceracoder_tpu.ops.h265 import (
+            deblock_frame_jit,
+            sao_apply_jit,
+            sao_estimate_jit,
+        )
+
+        rec = outs["recon"]
+        sao_params = None
+        if self.deblock:
+            cbf_l = outs["luma_lv"].reshape(
+                *outs["luma_lv"].shape[:2], -1).any(-1)
+            rec = deblock_frame_jit(*outs["recon"], outs["is_intra"],
+                                    cbf_l, outs["mv"], qp, mv1)
+        if self.sao:
+            sao_params = sao_estimate_jit(src_planes, rec, qp)
+            rec = sao_apply_jit(rec, sao_params)
+        return rec, sao_params
 
     def _pad_dev(self, plane, h, w):
         import jax.numpy as jnp
@@ -145,12 +172,7 @@ class H265DeviceEncoder:
         return fr.result()
 
     def _encode_b(self, planes, past, fut, poc: int, qp: int):
-        import jax
-
-        from ceracoder_tpu.ops.h265 import (
-            deblock_frame_dev,
-            encode_frame_b_rows,
-        )
+        from ceracoder_tpu.ops.h265 import encode_frame_b_rows
 
         qp_c = self._chroma_qp(qp)
         y, u, v = planes
@@ -158,21 +180,12 @@ class H265DeviceEncoder:
         uj = self._pad_dev(u, self.ph // 2, self.pw // 2)
         vj = self._pad_dev(v, self.ph // 2, self.pw // 2)
         outs = encode_frame_b_rows(yj, uj, vj, *past, *fut, qp, qp_c)
-        rec = outs["recon"]
-        if self.deblock:
-            cbf_l = outs["luma_lv"].reshape(
-                *outs["luma_lv"].shape[:2], -1).any(-1)
-            rec = jax.jit(deblock_frame_dev)(
-                *outs["recon"], outs["is_intra"], cbf_l, outs["mv"],
-                qp, outs["mv1"])
+        rec, sp = self._post_filter_dev(outs, (yj, uj, vj), qp,
+                                        mv1=outs["mv1"])
         arrays = {k: np.asarray(outs[k]) for k in
                   ("is_intra", "mode", "mv", "mv1", "luma_lv",
                    "cb_lv", "cr_lv")}
-        if self.sao:
-            from ceracoder_tpu.ops.h265 import (
-                sao_apply_dev, sao_estimate_dev)
-            sp = jax.jit(sao_estimate_dev)((yj, uj, vj), rec, qp)
-            rec = jax.jit(sao_apply_dev)(rec, sp)
+        if sp is not None:
             arrays["sao"] = np.asarray(sp)
         rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
                               slice_type="B")
@@ -211,24 +224,8 @@ class H265DeviceEncoder:
             outs = encode_frame_i_rows(yj, uj, vj, qp, qp_c)
         else:
             outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp, qp_c)
-        sao_params = None
-        rec = outs["recon"]
-        if self.deblock:
-            import jax
-
-            from ceracoder_tpu.ops.h265 import deblock_frame_dev
-            cbf_l = outs["luma_lv"].reshape(
-                *outs["luma_lv"].shape[:2], -1).any(-1)
-            rec = jax.jit(deblock_frame_dev)(
-                *outs["recon"], outs["is_intra"], cbf_l, outs["mv"], qp)
-        if self.sao:
-            import jax
-
-            from ceracoder_tpu.ops.h265 import (
-                sao_apply_dev, sao_estimate_dev)
-            sao_params = jax.jit(sao_estimate_dev)((yj, uj, vj), rec,
-                                                   qp)
-            rec = jax.jit(sao_apply_dev)(rec, sao_params)
+        rec, sao_params = self._post_filter_dev(outs, (yj, uj, vj),
+                                                qp)
         self._ref = rec
 
         # compact for transfer: levels fit int16 (quantizer output of

@@ -183,7 +183,7 @@ class H265IntraEncoder:
 
 def _code_intra_cu(enc, ctx, off, y, u, v, rec_y, rec_u, rec_v,
                    x0: int, y0: int, ctb: int, qp: int, qp_c: int,
-                   cand_a: int) -> int:
+                   cand_a: int, chosen=None) -> int:
     """Code one intra 2Nx2N CU from part_mode onward (mode decision,
     MPM syntax, residual transform tree) and update the recon planes
     in place. cand_a is the left neighbor's luma mode (DC when the
@@ -193,16 +193,20 @@ def _code_intra_cu(enc, ctx, off, y, u, v, rec_y, rec_u, rec_v,
     from ceracoder_tpu.codec.h265 import intra as I
     from ceracoder_tpu.codec.h265.residual import encode_residual
 
-    # --- luma mode decision (SAD over candidate modes)
-    lref = I.ref_samples(rec_y, x0, y0, ctb, avail_tr=True)
+    # --- luma mode decision (SAD over candidate modes); callers that
+    # already competed the intra candidates pass the winner in
     src = y[y0:y0 + ctb, x0:x0 + ctb]
-    best_mode, best_pred, best_sad = None, None, 1 << 30
-    for m in I.CAND_MODES:
-        pr = I.predict(m, *lref, ctb, 0)
-        sad = int(np.abs(src - pr).sum())
-        if sad < best_sad:
-            best_mode, best_pred, best_sad = m, pr, sad
-    mode = best_mode
+    if chosen is not None:
+        mode, best_pred = chosen
+    else:
+        lref = I.ref_samples(rec_y, x0, y0, ctb, avail_tr=True)
+        best_mode, best_pred, best_sad = None, None, 1 << 30
+        for m in I.CAND_MODES:
+            pr = I.predict(m, *lref, ctb, 0)
+            sad = int(np.abs(src - pr).sum())
+            if sad < best_sad:
+                best_mode, best_pred, best_sad = m, pr, sad
+        mode = best_mode
 
     # --- syntax: part_mode, luma mode (MPM), chroma mode (DM)
     enc.encode_bin(ctx, off["part_mode"], 1)    # 2Nx2N
@@ -344,8 +348,7 @@ class H265GopEncoder:
             out.append((data, 0, "I", self.recon))
             return out
 
-        if self.bframes and self._pending is None \
-                and self._poc + 1 <= self.gop:
+        if self.bframes and self._pending is None:
             # buffer the B candidate; coded when its fwd ref exists
             self._pending = (planes, self._poc, self.qp, self.qp_c)
             self._poc += 1
@@ -439,9 +442,12 @@ class H265GopEncoder:
 
             # --- intra competition (scene-change fallback)
             lref = I.ref_samples(rec_y, x0, y0, ctb, avail_tr=True)
-            intra_sad = min(
-                int(np.abs(src - I.predict(m, *lref, ctb, 0)).sum())
-                for m in I.CAND_MODES)
+            ibest, ipred, intra_sad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, ctb, 0)
+                sad = int(np.abs(src - pr).sum())
+                if sad < intra_sad:
+                    ibest, ipred, intra_sad = m, pr, sad
             use_intra = (intra_sad * INTRA_BIAS_DEN
                          < inter_sad * INTRA_BIAS_NUM)
 
@@ -456,7 +462,8 @@ class H265GopEncoder:
                           if cx > 0 and left_intra[cy] else I.DC)
                 mode = _code_intra_cu(enc, ctx, off, y, u, v,
                                       rec_y, rec_u, rec_v,
-                                      x0, y0, ctb, qp, qp_c, cand_a)
+                                      x0, y0, ctb, qp, qp_c, cand_a,
+                                      chosen=(ibest, ipred))
                 left_modes[cy] = mode
                 left_intra[cy] = True
                 enc.encode_terminate(0 if ci < ncw * nch - 1 else 1)
@@ -620,9 +627,12 @@ class H265GopEncoder:
             inter_sad = int(np.abs(src - pred_y).sum())
 
             lref = I.ref_samples(rec_y, x0, y0, ctb, avail_tr=True)
-            intra_sad = min(
-                int(np.abs(src - I.predict(m, *lref, ctb, 0)).sum())
-                for m in I.CAND_MODES)
+            ibest, ipred, intra_sad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, ctb, 0)
+                sad = int(np.abs(src - pr).sum())
+                if sad < intra_sad:
+                    ibest, ipred, intra_sad = m, pr, sad
             use_intra = (intra_sad * INTRA_BIAS_DEN
                          < inter_sad * INTRA_BIAS_NUM)
 
@@ -636,7 +646,8 @@ class H265GopEncoder:
                           if cx > 0 and left_intra[cy] else I.DC)
                 mode = _code_intra_cu(enc, ctx, off, y, u, v,
                                       rec_y, rec_u, rec_v,
-                                      x0, y0, ctb, qp, qp_c, cand_a)
+                                      x0, y0, ctb, qp, qp_c, cand_a,
+                                      chosen=(ibest, ipred))
                 left_modes[cy] = mode
                 left_intra[cy] = True
                 enc.encode_terminate(0 if ci < ncw * nch - 1 else 1)

@@ -68,7 +68,7 @@ def sig_ctx_inc(xc: int, yc: int, log2_size: int, c_idx: int,
             sig += 9 if log2_size == 3 else 21   # diag scan
         else:
             sig += 9 if log2_size == 3 else 12
-    return sig if c_idx == 0 else sig
+    return sig
 
 
 def encode_residual(enc, ctx, off, coeffs: np.ndarray, c_idx: int) -> None:

@@ -580,6 +580,7 @@ _NATIVE_OFF_ORDER = (
 def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
                         poc: int = 0, ref_poc_delta: int = 1,
                         slice_type: str | None = None,
+                        fwd_poc_delta: int = 1,
                         n_threads: int = 0) -> list[bytes] | None:
     """Native (C++) entropy stage; byte-identical to entropy_rows.
     Returns None when the native library is unavailable (callers fall
@@ -618,6 +619,7 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
                 p, idr=idr, qp=qp, poc=poc,
                 ref_poc_delta=ref_poc_delta,
                 slice_type=None if idr else slice_type,
+                fwd_poc_delta=fwd_poc_delta,
                 ctb_addr=cy * ncw)
             hdrs.append((hw.to_bytes(), hw.bit_length))
         stride = max(len(b) for b, _ in hdrs)
@@ -666,7 +668,8 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
         pos += sz
     if tiles:
         return [_assemble_tiles(p, res, qp, idr, poc, ref_poc_delta,
-                                None if idr else slice_type)]
+                                None if idr else slice_type,
+                                fwd_poc_delta)]
     return res
 
 
@@ -686,6 +689,10 @@ class H265RowEncoder:
                  tile_rows: bool = True, sao: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 requires even dimensions (the "
+                             "conformance window crops in 2-sample "
+                             "units)")
         self.width, self.height = width, height
         self.qp, self.qp_c = qp, chroma_qp(qp)
         self.gop = max(1, gop)

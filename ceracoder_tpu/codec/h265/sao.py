@@ -73,63 +73,19 @@ def _ctb_view(plane, n):
 
 
 def _estimate_plane(src, rec, n):
-    """Per-CTB stats and best params for one plane.
-
-    Returns (type, cls, offs (4,), gain) arrays of shape (nch, ncw,
-    ...). Border samples of each CTB are excluded from edge stats and
-    never filtered (CTB independence)."""
-    diff = src.astype(np.int64) - rec.astype(np.int64)
+    """Per-CTB best params for one plane: (type, cls, offs (4,),
+    gain). Candidate order off(0) < band(1) < edge cls 0..3; strictly
+    greater gain wins (ties keep the earlier option)."""
+    st = _full_stats(src, rec, n)
     h, w = rec.shape
     nch, ncw = h // n, w // n
-    dv = _ctb_view(diff, n)
-    rv = _ctb_view(rec.astype(np.int32), n)
-
-    # --- edge classes: stats over interior samples only
-    eo_off = np.zeros((4, nch, ncw, 4), np.int32)
-    eo_gain = np.zeros((4, nch, ncw), np.int64)
-    rpad = rec.astype(np.int32)
-    for cls, (dy0, dx0, dy1, dx1) in enumerate(EO_NEIGHBORS):
-        n0 = np.roll(rpad, (-dy0, -dx0), (0, 1))
-        n1 = np.roll(rpad, (-dy1, -dx1), (0, 1))
-        cat = _eo_category(rpad, n0, n1)
-        # interior mask: exclude the CTB border ring
-        iy = np.arange(h) % n
-        ix = np.arange(w) % n
-        interior = ((iy > 0) & (iy < n - 1))[:, None] \
-            & ((ix > 0) & (ix < n - 1))[None, :]
-        catv = _ctb_view(np.where(interior, cat, 0), n)
-        offs = np.zeros((nch, ncw, 4), np.int32)
-        gain = np.zeros((nch, ncw), np.int64)
-        for k in (1, 2, 3, 4):
-            m = catv == k
-            cnts = m.sum((2, 3))
-            sums = np.where(m, dv, 0).sum((2, 3))
-            sign = 1 if k <= 2 else -1
-            o, g = _offset_gain(sums, cnts, force_sign=sign)
-            offs[..., k - 1] = o
-            gain += g
-        eo_off[cls] = offs
-        eo_gain[cls] = gain
-
-    # --- band offset: 32 bands of p >> 3 (8-bit), best 4-consecutive
-    band = rv >> 3                                   # (nch, ncw, n, n)
-    bo_sums = np.zeros((nch, ncw, 32), np.int64)
-    bo_cnts = np.zeros((nch, ncw, 32), np.int64)
-    for b in range(32):
-        m = band == b
-        bo_cnts[..., b] = m.sum((2, 3))
-        bo_sums[..., b] = np.where(m, dv, 0).sum((2, 3))
-    ob, gb = _offset_gain(bo_sums, bo_cnts)          # per band
-    # best window of 4 consecutive bands
-    win = np.stack([gb[..., s:s + 4].sum(-1) for s in range(29)], -1)
-    band_pos = win.argmax(-1).astype(np.int32)       # (nch, ncw)
+    ob, win = st["bo_off"], st["bo_win"]
+    band_pos = win.argmax(-1).astype(np.int32)
     bo_gain = np.take_along_axis(win, band_pos[..., None], -1)[..., 0]
     bo_offs = np.stack([
         np.take_along_axis(ob, band_pos[..., None] + i, -1)[..., 0]
         for i in range(4)], -1).astype(np.int32)
 
-    # --- choose: order off(0) < band(1) < edge cls 0..3; strictly
-    # greater gain wins (ties keep the earlier option)
     best_gain = np.zeros((nch, ncw), np.int64)
     best_type = np.zeros((nch, ncw), np.int32)
     best_cls = np.zeros((nch, ncw), np.int32)
@@ -140,11 +96,12 @@ def _estimate_plane(src, rec, n):
     best_cls = np.where(take, band_pos, best_cls)
     best_offs = np.where(take[..., None], bo_offs, best_offs)
     for cls in range(4):
-        take = eo_gain[cls] > best_gain
-        best_gain = np.where(take, eo_gain[cls], best_gain)
+        take = st["eo_gain"][cls] > best_gain
+        best_gain = np.where(take, st["eo_gain"][cls], best_gain)
         best_type = np.where(take, 2, best_type)
         best_cls = np.where(take, cls, best_cls)
-        best_offs = np.where(take[..., None], eo_off[cls], best_offs)
+        best_offs = np.where(take[..., None], st["eo_off"][cls],
+                             best_offs)
     return best_type, best_cls, best_offs, best_gain
 
 
@@ -200,42 +157,16 @@ def sao_estimate(src_planes, rec_planes, qp: int = 32):
     # on smooth content); band offsets have no neighbor dependence and
     # carry most of the chroma gain.
     nc = CTB // 2
-    cands = []          # (gain, type, cls, offs_u, offs_v)
     stats = [_full_stats(p_s, p_r, nc)
              for p_s, p_r in ((u_s, u_r), (v_s, v_r))]
-    best = None
-    for t_i, cls_i in [(1, -1)]:
-        gain = np.zeros((nch, ncw), np.int64)
-        offs = []
-        clsarr = None
-        if t_i == 1:
-            # joint band window over summed gains
-            win = stats[0]["bo_win"] + stats[1]["bo_win"]
-            clsarr = win.argmax(-1).astype(np.int32)
-            gain = np.take_along_axis(win, clsarr[..., None],
-                                      -1)[..., 0]
-            for s in stats:
-                offs.append(np.stack([
-                    np.take_along_axis(s["bo_off"],
-                                       clsarr[..., None] + i, -1)[..., 0]
-                    for i in range(4)], -1))
-        else:
-            gain = stats[0]["eo_gain"][cls_i] + stats[1]["eo_gain"][cls_i]
-            clsarr = np.full((nch, ncw), cls_i, np.int32)
-            offs = [s["eo_off"][cls_i] for s in stats]
-        cands.append((gain, t_i, clsarr, offs))
-    best_gain = np.zeros((nch, ncw), np.int64)
-    bt = np.zeros((nch, ncw), np.int32)
-    bc = np.zeros((nch, ncw), np.int32)
-    bu = np.zeros((nch, ncw, 4), np.int32)
-    bv = np.zeros((nch, ncw, 4), np.int32)
-    for gain, t_i, clsarr, offs in cands:
-        take = gain > best_gain
-        best_gain = np.where(take, gain, best_gain)
-        bt = np.where(take, t_i, bt)
-        bc = np.where(take, clsarr, bc)
-        bu = np.where(take[..., None], offs[0], bu)
-        bv = np.where(take[..., None], offs[1], bv)
+    # joint band window over summed gains
+    win = stats[0]["bo_win"] + stats[1]["bo_win"]
+    bc = win.argmax(-1).astype(np.int32)
+    best_gain = np.take_along_axis(win, bc[..., None], -1)[..., 0]
+    bu, bv = (np.stack([
+        np.take_along_axis(s["bo_off"], bc[..., None] + i, -1)[..., 0]
+        for i in range(4)], -1) for s in stats)
+    bt = np.full((nch, ncw), 1, np.int32)
     keep_c = best_gain > th_c
     bt = np.where(keep_c, bt, 0)
     bc = np.where(keep_c, bc, 0)
@@ -249,9 +180,8 @@ def sao_estimate(src_planes, rec_planes, qp: int = 32):
 
 
 def _full_stats(src, rec, n):
-    """All candidate stats for one plane (helper for the joint chroma
-    decision)."""
-    t, c, o, g = None, None, None, None
+    """All candidate edge/band statistics for one plane (shared by
+    the luma decision and the joint chroma decision)."""
     diff = src.astype(np.int64) - rec.astype(np.int64)
     h, w = rec.shape
     nch, ncw = h // n, w // n
@@ -286,7 +216,6 @@ def _full_stats(src, rec, n):
         bo_sums[..., b] = np.where(m, dv, 0).sum((2, 3))
     ob, gb = _offset_gain(bo_sums, bo_cnts)
     win = np.stack([gb[..., s:s + 4].sum(-1) for s in range(29)], -1)
-    del t, c, o, g
     return {"eo_off": eo_off, "eo_gain": eo_gain, "bo_off": ob,
             "bo_win": win}
 

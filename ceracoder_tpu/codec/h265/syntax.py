@@ -51,6 +51,8 @@ def profile_tier_level(w: BitWriter, level_idc: int = 120) -> None:
 
 @dataclass
 class HevcParams:
+    # 4:2:0: dimensions must be even (the conformance window crops in
+    # SubWidthC/SubHeightC = 2-sample units; encoders validate)
     width: int
     height: int
     qp: int = 32
@@ -259,14 +261,14 @@ def slice_header_bits(p: HevcParams, idr: bool = True,
         w.ue(3)             # five_minus_max_num_merge_cand -> 2 cands
     # (no SAO; no deblocking override)
     w.se(qp - 26)   # slice_qp_delta
-    if p.deblock:
+    if p.deblock or p.sao:
         # present when the PPS enables cross-slice filtering and
-        # deblocking is not disabled (spec 7.3.6.1); the frame-level
-        # deblock post-pass filters across row slices
+        # (SAO is on or deblocking is not disabled) — spec 7.3.6.1;
+        # the frame-level post-pass filters across row slices
         w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
     if p.tile_rows and p.pic_height_ctbs > 1:
-        # entry points of tiles 2..N (spec 7.3.6.1): byte offsets in
-        # the RBSP (pre emulation prevention)
+        # entry points of tiles 2..N (spec 7.4.7.1): sizes of the
+        # coded substreams INCLUDING emulation prevention bytes
         sizes = tile_sizes or ()
         w.ue(len(sizes))                # num_entry_point_offsets
         if sizes:

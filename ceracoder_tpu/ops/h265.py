@@ -1209,3 +1209,10 @@ def sao_apply_dev(rec_planes, params):
                                   rep(offs[..., k - 1]), delta)
         outs.append(jnp.clip(r + delta, 0, 255).astype(jnp.uint8))
     return tuple(outs)
+
+
+# module-level jitted post-filter entry points: re-wrapping jax.jit
+# per call would discard the trace cache and re-trace every frame
+deblock_frame_jit = jax.jit(deblock_frame_dev)
+sao_estimate_jit = jax.jit(sao_estimate_dev)
+sao_apply_jit = jax.jit(sao_apply_dev)
