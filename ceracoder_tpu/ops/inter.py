@@ -390,32 +390,65 @@ def _me_mc_luma(y32, ref32):
     base = 4
     cur_mb = (y32.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3)
               .astype(jnp.int16))
-    half_cands = [(0, 0), (0, 2), (0, -2), (2, 0), (-2, 0),
-                  (2, 2), (2, -2), (-2, 2), (-2, -2)]
 
-    def half_pred(oy, ox):
-        iy = base + (oy >> 2)
-        ix = base + (ox >> 2)
-        fy, fx = (oy >> 1) & 1, (ox >> 1) & 1
-        if not fy and not fx:
+    def plane_win(p_idx, dy, dx):
+        """16x16 window of plane {G, b, h, j} at integer offset
+        (dy, dx) in [-1, +1] from the warped-window center."""
+        iy = base + dy
+        ix = base + dx
+        if p_idx == 0:
             return w2t[..., iy:iy + 16, ix:ix + 16]
-        if fy and not fx:
-            return h_w[..., iy - 2:iy - 2 + 16, ix:ix + 16]
-        if fx and not fy:
+        if p_idx == 1:
             return b_w[..., iy:iy + 16, ix - 2:ix - 2 + 16]
+        if p_idx == 2:
+            return h_w[..., iy - 2:iy - 2 + 16, ix:ix + 16]
         return j_w[..., iy - 2:iy - 2 + 16, ix - 2:ix - 2 + 16]
 
-    preds = [half_pred(oy, ox) for oy, ox in half_cands]
-    hsads = jnp.stack([jnp.abs(cur_mb - p).sum((-1, -2)) for p in preds])
-    hk = jnp.argmin(hsads, axis=0)
+    # quarter-sample table (spec 8.4.2.2.1 Figure 8-4): every position
+    # is the rounding average of two {G, b, h, j} samples; the four
+    # base positions average a sample with itself ((v+v+1)>>1 == v)
+    G, B, HH, J = 0, 1, 2, 3
+    qtab = {
+        (0, 0): ((G, 0, 0), (G, 0, 0)),
+        (0, 1): ((G, 0, 0), (B, 0, 0)),
+        (0, 2): ((B, 0, 0), (B, 0, 0)),
+        (0, 3): ((B, 0, 0), (G, 0, 1)),
+        (1, 0): ((G, 0, 0), (HH, 0, 0)),
+        (1, 1): ((B, 0, 0), (HH, 0, 0)),
+        (1, 2): ((B, 0, 0), (J, 0, 0)),
+        (1, 3): ((B, 0, 0), (HH, 0, 1)),
+        (2, 0): ((HH, 0, 0), (HH, 0, 0)),
+        (2, 1): ((HH, 0, 0), (J, 0, 0)),
+        (2, 2): ((J, 0, 0), (J, 0, 0)),
+        (2, 3): ((J, 0, 0), (HH, 0, 1)),
+        (3, 0): ((HH, 0, 0), (G, 1, 0)),
+        (3, 1): ((HH, 0, 0), (B, 1, 0)),
+        (3, 2): ((J, 0, 0), (B, 1, 0)),
+        (3, 3): ((B, 1, 0), (HH, 0, 1)),
+    }
+
+    def qpred(oy, ox):
+        """Prediction at qpel offset (oy, ox) in [-3, 3] from the
+        full-pel center."""
+        dy, dx = oy >> 2, ox >> 2
+        (p1, a1, b1_), (p2, a2, b2_) = qtab[(oy & 3, ox & 3)]
+        s1 = plane_win(p1, dy + a1, dx + b1_)
+        s2 = plane_win(p2, dy + a2, dx + b2_)
+        return (s1 + s2 + 1) >> 1
+
+    # one 49-way sub-pel stage (covers full/half/quarter positions)
+    q_cands = [(oy, ox) for oy in range(-3, 4) for ox in range(-3, 4)]
+    preds = [qpred(oy, ox) for oy, ox in q_cands]
+    qsads = jnp.stack([jnp.abs(cur_mb - p).sum((-1, -2)) for p in preds])
+    qk = jnp.argmin(qsads, axis=0)
     pred = jnp.zeros_like(preds[0])
     for i, p in enumerate(preds):
-        pred = pred + jnp.where((hk == i)[..., None, None], p, 0)
-    hoff = jnp.asarray(np.array(half_cands, np.int32))
-    hsel = (jnp.stack([jnp.where(hk == i, 1, 0) for i in
-                       range(len(half_cands))], 0)[..., None]
-            * hoff[:, None, None, :]).sum(0)
-    mv_q = mv_full * 4 + hsel
+        pred = pred + jnp.where((qk == i)[..., None, None], p, 0)
+    qoff = jnp.asarray(np.array(q_cands, np.int32))
+    qsel = (jnp.stack([jnp.where(qk == i, 1, 0) for i in
+                       range(len(q_cands))], 0)[..., None]
+            * qoff[:, None, None, :]).sum(0)
+    mv_q = mv_full * 4 + qsel
     return mv_q, cmv, pred, sad
 
 
