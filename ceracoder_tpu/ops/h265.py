@@ -720,10 +720,7 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
     h, w = y.shape
-    nch, ncw = h // CTB, w // CTB
     hc, wc = h // 2, w // 2
-    t16 = jnp.asarray(T16, jnp.int32)
-    t8 = jnp.asarray(T8, jnp.int32)
 
     planes = _luma_qpel_planes(ref_y_pad)
     mv = motion_search_dev(y, ref_pad=planes[0], pad=PLANE_PAD)

@@ -53,19 +53,28 @@ class GopParallelEncoder:
                     qp: int | None = None) -> list[bytes]:
         """Encode display-order frames; returns per-frame bitstreams
         in display order. Frames are grouped into closed GOPs and the
-        groups dispatched round-robin across devices."""
+        groups dispatched round-robin across devices; at most one GOP
+        per device is in flight (bounded device memory: the pending
+        recon/level stacks are O(devices x gop), not O(clip))."""
         import jax
+
+        if frames is None and n_frames is None:
+            raise ValueError("source input requires n_frames")
+        from collections import deque
 
         nf = len(frames) if frames is not None else n_frames
         d = len(self.devices)
-        jobs = []                       # (gop_idx, pending list)
+        in_flight: deque = deque()      # (GOP order) pending lists
+        out = []
         for g0 in range(0, nf, self.gop):
-            g = g0 // self.gop
-            enc = self.encoders[g % d]
-            dev = self.devices[g % d]
+            slot = (g0 // self.gop) % d
+            if len(in_flight) >= d:     # this slot's previous job
+                out.extend(p.result().data
+                           for p in in_flight.popleft())
+            enc = self.encoders[slot]
+            dev = self.devices[slot]
             idx = range(g0, min(g0 + self.gop, nf))
-            enc._ref = None             # closed GOP: fresh chain
-            enc._poc = 0
+            enc.resume()                # closed GOP: fresh chain
             with jax.default_device(dev):
                 if frames is not None:
                     batch = [frames[i] for i in idx]
@@ -75,10 +84,9 @@ class GopParallelEncoder:
                     pend = enc.encode_run_async(source=source,
                                                 indices=idx, qp=qp,
                                                 force_idr=True)
-            jobs.append(pend)
-        out = []
-        for pend in jobs:
-            out.extend(p.result().data for p in pend)
+            in_flight.append(pend)
+        while in_flight:
+            out.extend(p.result().data for p in in_flight.popleft())
         return out
 
 
@@ -90,15 +98,12 @@ def gop_throughput_scaling(width, height, frames, gop, qp=32):
     import jax
 
     devs = jax.devices()
-    for nd in (1, len(devs)):
+    fps = {}
+    for nd in sorted({1, len(devs)}):
         enc = GopParallelEncoder(width, height, qp=qp, gop=gop,
                                  devices=devs[:nd])
         enc.encode_clip(frames)        # warm compile
         t0 = time.time()
         enc.encode_clip(frames)
-        dt = time.time() - t0
-        if nd == 1:
-            fps_1 = len(frames) / dt
-        else:
-            fps_n = len(frames) / dt
-    return fps_1, fps_n, len(devs)
+        fps[nd] = len(frames) / (time.time() - t0)
+    return fps[1], fps[len(devs)], len(devs)

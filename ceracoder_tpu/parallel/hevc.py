@@ -52,15 +52,6 @@ def _halo_rows(x, k: int, n_rows: int, axis_name: str = "rows"):
     return jnp.concatenate([top, x, bot], axis=1)
 
 
-def _exchange(x, n_rows: int, axis_name: str = "rows"):
-    """(from_prev, from_next) copies of x; border devices receive
-    their own x back (callers mask with the band index)."""
-    fwd = [(i, i + 1) for i in range(n_rows - 1)]
-    bwd = [(i + 1, i) for i in range(n_rows - 1)]
-    return (jax.lax.ppermute(x, axis_name, fwd),
-            jax.lax.ppermute(x, axis_name, bwd))
-
-
 def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
     """Band-local deblock matching the whole-frame filter: vertical
     pass (row-local), then internal horizontal edges plus the band-
