@@ -117,6 +117,7 @@ _LAYOUT = [
     ("inter_pred_idc", INTER_PRED_IDC),
     ("sao_merge", SAO_MERGE),
     ("sao_type", SAO_TYPE_IDX),
+    ("split_tu", SPLIT_TRANSFORM),
 ]
 
 

@@ -181,22 +181,65 @@ def _filter_chroma_lines(p: np.ndarray, q: np.ndarray, bs: np.ndarray,
     return out_p, out_q
 
 
+def nnz8_map(luma_lv, cbf_l, tu_split):
+    """Per-8x8-quadrant luma TB nonzero map (2nch, 2ncw): for split
+    CUs the quadrant's own flag, else the CU's TB flag replicated
+    (the 16x16 TU contains the quadrant)."""
+    nch, ncw = cbf_l.shape
+    qz = (luma_lv.reshape(nch, ncw, 2, 8, 2, 8) != 0).any((3, 5))
+    cu = np.broadcast_to(cbf_l[:, :, None, None] != 0,
+                         (nch, ncw, 2, 2))
+    sp = np.broadcast_to(tu_split[:, :, None, None], (nch, ncw, 2, 2))
+    out = np.where(sp, qz, cu)
+    return out.transpose(0, 2, 1, 3).reshape(2 * nch, 2 * ncw)
+
+
+def _seg_bs(ii_a, ii_b, mv_a, mv_b, mv1_a, mv1_b, nz_pair):
+    """Boundary strength per 8-sample segment (spec 8.7.2.4): 2 if
+    either CU intra; 1 if the adjacent TBs have nonzero coefficients
+    or any MV component differs by >= 4 quarter samples; else 0.
+    ii/mv are per-CU (repeated x2 to segments); nz_pair per segment."""
+    ii = np.repeat(ii_a | ii_b, 2)
+    mvd = (np.abs(mv_a - mv_b) >= 4).any(-1)
+    if mv1_a is not None:
+        mvd |= (np.abs(mv1_a - mv1_b) >= 4).any(-1)
+    mvd = np.repeat(mvd, 2)
+    return np.where(ii, 2,
+                    np.where(nz_pair | mvd, 1, 0)).astype(np.int32)
+
+
 def deblock_frame(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp: int,
-                  mv1=None):
+                  mv1=None, tu_split=None, luma_lv=None):
     """Deblock one reconstructed picture in place semantics (returns
     new arrays). Planes are CTB-aligned int arrays; is_intra/cbf_l/mv
-    (+ mv1 for B frames) are the per-CTB arrays of the frame."""
+    (+ mv1 for B frames, + tu_split/luma_lv when the inter TU split is
+    enabled) are the per-CTB arrays of the frame.
+
+    Boundary strengths are per 8-sample edge segment: the intra/MV
+    conditions are per CU, the nonzero-TB condition per adjacent
+    transform block (the 8x8 quadrant for split CUs). Split CUs also
+    filter their interior 8-aligned TU edges (luma only; the chroma
+    deblock grid is 16 luma samples)."""
     y = rec_y.astype(np.int32).copy()
     u = rec_u.astype(np.int32).copy()
     v = rec_v.astype(np.int32).copy()
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
+    if tu_split is None or luma_lv is None:
+        tu_split = np.zeros((nch, ncw), bool)
+        luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
+    nnz8 = nnz8_map(luma_lv, cbf_l != 0, tu_split)
     bs_v, bs_h = edge_bs(is_intra, cbf_l, mv, mv1)
 
-    # --- vertical edges (filter across columns), whole picture first
+    # --- vertical edges (whole picture first): CU boundaries
     for k in range(1, ncw):
         x = k * CTB
-        bs_col = np.repeat(bs_v[:, k - 1], CTB)       # (h,)
+        nz = nnz8[:, 2 * k - 1] | nnz8[:, 2 * k]
+        seg = _seg_bs(is_intra[:, k - 1], is_intra[:, k],
+                      mv[:, k - 1], mv[:, k],
+                      None if mv1 is None else mv1[:, k - 1],
+                      None if mv1 is None else mv1[:, k], nz)
+        bs_col = np.repeat(seg, 8)                    # (h,)
         p, q, _ = _filter_luma_lines(y[:, x - 4:x], y[:, x:x + 4],
                                      bs_col, qp)
         y[:, x - 4:x] = p
@@ -209,20 +252,54 @@ def deblock_frame(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp: int,
             plane[:, xc - 2:xc] = pc
             plane[:, xc:xc + 2] = qc
 
+    # --- interior vertical TU edges of split CUs (luma only)
+    for k in range(ncw):
+        if not tu_split[:, k].any():
+            continue
+        x = k * CTB + 8
+        nz = nnz8[:, 2 * k] | nnz8[:, 2 * k + 1]
+        seg = np.where(np.repeat(tu_split[:, k], 2) & nz,
+                       1, 0).astype(np.int32)
+        p, q, _ = _filter_luma_lines(y[:, x - 4:x], y[:, x:x + 4],
+                                     np.repeat(seg, 8), qp)
+        y[:, x - 4:x] = p
+        y[:, x:x + 4] = q
+
     # --- horizontal edges on the vertically-filtered picture
+    nnz8_t = nnz8.T
     for k in range(1, nch):
         yy = k * CTB
-        bs_row = np.repeat(bs_h[k - 1, :], CTB)
-        p, q, _ = _filter_luma_lines(y[yy - 4:yy, :].T, y[yy:yy + 4, :].T,
-                                     bs_row, qp)
+        nz = nnz8_t[:, 2 * k - 1] | nnz8_t[:, 2 * k]
+        seg = _seg_bs(is_intra[k - 1, :], is_intra[k, :],
+                      mv[k - 1, :], mv[k, :],
+                      None if mv1 is None else mv1[k - 1, :],
+                      None if mv1 is None else mv1[k, :], nz)
+        bs_row = np.repeat(seg, 8)
+        p, q, _ = _filter_luma_lines(y[yy - 4:yy, :].T,
+                                     y[yy:yy + 4, :].T, bs_row, qp)
         y[yy - 4:yy, :] = p.T
         y[yy:yy + 4, :] = q.T
         yc = yy // 2
         bs_c = np.repeat(bs_h[k - 1, :], CTB // 2)
         for plane in (u, v):
             pc, qc = _filter_chroma_lines(plane[yc - 2:yc, :].T,
-                                          plane[yc:yc + 2, :].T, bs_c, qp)
+                                          plane[yc:yc + 2, :].T,
+                                          bs_c, qp)
             plane[yc - 2:yc, :] = pc.T
             plane[yc:yc + 2, :] = qc.T
+
+    # --- interior horizontal TU edges of split CUs (luma only)
+    for k in range(nch):
+        if not tu_split[k, :].any():
+            continue
+        yy = k * CTB + 8
+        nz = nnz8_t[:, 2 * k] | nnz8_t[:, 2 * k + 1]
+        seg = np.where(np.repeat(tu_split[k, :], 2) & nz,
+                       1, 0).astype(np.int32)
+        p, q, _ = _filter_luma_lines(y[yy - 4:yy, :].T,
+                                     y[yy:yy + 4, :].T,
+                                     np.repeat(seg, 8), qp)
+        y[yy - 4:yy, :] = p.T
+        y[yy:yy + 4, :] = q.T
 
     return y, u, v

@@ -46,7 +46,8 @@ class H265DeviceEncoder:
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
                  deblock: bool = True, bframes: int = 0,
-                 tile_rows: bool = True, sao: bool = False):
+                 tile_rows: bool = True, sao: bool = False,
+                 tu_split: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         if width % 2 or height % 2:
@@ -59,13 +60,15 @@ class H265DeviceEncoder:
         self.native_entropy = native_entropy
         self.deblock = deblock
         self.sao = sao
+        self.tu_split = tu_split
         self.bframes = 1 if bframes else 0
         self._chroma_qp = chroma_qp
         self.params = HevcParams(width=width, height=height, qp=qp,
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
                                  max_dpb_minus1=1 + self.bframes,
-                                 tile_rows=tile_rows, sao=sao)
+                                 tile_rows=tile_rows, sao=sao,
+                                 tu_split_inter=tu_split)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None              # device recon planes
@@ -101,7 +104,9 @@ class H265DeviceEncoder:
             cbf_l = outs["luma_lv"].reshape(
                 *outs["luma_lv"].shape[:2], -1).any(-1)
             rec = deblock_frame_jit(*outs["recon"], outs["is_intra"],
-                                    cbf_l, outs["mv"], qp, mv1)
+                                    cbf_l, outs["mv"], qp, mv1,
+                                    tu_split=outs["tu_split"],
+                                    luma_lv=outs["luma_lv"])
         if self.sao:
             sao_params = sao_estimate_jit(src_planes, rec, qp)
             rec = sao_apply_jit(rec, sao_params)
@@ -179,12 +184,13 @@ class H265DeviceEncoder:
         yj = self._pad_dev(y, self.ph, self.pw)
         uj = self._pad_dev(u, self.ph // 2, self.pw // 2)
         vj = self._pad_dev(v, self.ph // 2, self.pw // 2)
-        outs = encode_frame_b_rows(yj, uj, vj, *past, *fut, qp, qp_c)
+        outs = encode_frame_b_rows(yj, uj, vj, *past, *fut, qp, qp_c,
+                                   tu_split=self.tu_split)
         rec, sp = self._post_filter_dev(outs, (yj, uj, vj), qp,
                                         mv1=outs["mv1"])
         arrays = {k: np.asarray(outs[k]) for k in
-                  ("is_intra", "mode", "mv", "mv1", "luma_lv",
-                   "cb_lv", "cr_lv")}
+                  ("is_intra", "mode", "mv", "mv1", "tu_split",
+                   "luma_lv", "cb_lv", "cr_lv")}
         if sp is not None:
             arrays["sao"] = np.asarray(sp)
         rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
@@ -223,7 +229,8 @@ class H265DeviceEncoder:
         if idr:
             outs = encode_frame_i_rows(yj, uj, vj, qp, qp_c)
         else:
-            outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp, qp_c)
+            outs = encode_frame_p_rows(yj, uj, vj, *self._ref, qp,
+                                       qp_c, tu_split=self.tu_split)
         rec, sao_params = self._post_filter_dev(outs, (yj, uj, vj),
                                                 qp)
         self._ref = rec
@@ -234,6 +241,7 @@ class H265DeviceEncoder:
             "is_intra": outs["is_intra"],
             "mode": outs["mode"],
             "mv": outs["mv"],
+            "tu_split": outs["tu_split"],
             "luma_lv": outs["luma_lv"].astype(jnp.int16),
             "cb_lv": outs["cb_lv"].astype(jnp.int16),
             "cr_lv": outs["cr_lv"].astype(jnp.int16),
@@ -325,11 +333,13 @@ class H265DeviceEncoder:
             ys, us, vs, jnp.asarray(idr_flags), jnp.asarray(qp_arr),
             jnp.asarray(qpc_arr), *prev_ref, jnp.asarray(fidx),
             cap=cap, any_idr=any_idr, deblock=self.deblock,
-            sao=self.sao, source_fn=source_fn)
+            sao=self.sao, tu_split=self.tu_split,
+            source_fn=source_fn)
         recons = outs["recon"]
         self._ref = tuple(r[-1] for r in recons)
 
-        small_keys = ["is_intra", "mode", "mv", "counts", "nnz"]
+        small_keys = ["is_intra", "mode", "mv", "tu_split", "counts",
+                      "nnz"]
         if self.sao:
             small_keys.append("sao")
         small = {k: outs[k] for k in small_keys}
@@ -390,6 +400,7 @@ class H265DeviceEncoder:
                 "is_intra": get("is_intra")[f],
                 "mode": get("mode")[f],
                 "mv": get("mv")[f],
+                "tu_split": get("tu_split")[f],
             }
             if self.sao:
                 arrays["sao"] = get("sao")[f]
@@ -519,11 +530,12 @@ class H265DeviceEncoder:
             ybs, ubs, vbs, yps, ups, vps, qa, qca, qa, qca,
             *run_ref, jnp.asarray(fidx_b), jnp.asarray(fidx_p),
             cap=cap, deblock=self.deblock, sao=self.sao,
-            source_fn=source_fn)
+            tu_split=self.tu_split, source_fn=source_fn)
         self._ref = tuple(r[-1] for r in outs["p"]["recon"])
 
         for key in ("p", "b"):
-            names = ["is_intra", "mode", "mv", "counts", "nnz"]
+            names = ["is_intra", "mode", "mv", "tu_split", "counts",
+                     "nnz"]
             if self.sao:
                 names.append("sao")
             for name in names:
@@ -584,6 +596,7 @@ class H265DeviceEncoder:
                 "is_intra": get(key, "is_intra")[k],
                 "mode": get(key, "mode")[k],
                 "mv": get(key, "mv")[k],
+                "tu_split": get(key, "tu_split")[k],
             }
             if is_b:
                 arrays["mv1"] = np.asarray(outs[key]["mv1"][k])
@@ -630,7 +643,8 @@ class H265DeviceEncoder:
         past = tuple(np.asarray(p).astype(np.int32) for p in past)
         if key == "p":
             y, u, v = planes_of(i0 + 2 * k + 1)
-            arrays, _ = compute_p_rows(y, u, v, past, qp, qp_c)
+            arrays, _ = compute_p_rows(y, u, v, past, qp, qp_c,
+                                       tu_split=self.tu_split)
             if self.sao:
                 arrays["sao"] = np.asarray(outs[key]["sao"][k])
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
@@ -640,7 +654,8 @@ class H265DeviceEncoder:
             fut = tuple(np.asarray(r[k]).astype(np.int32)
                         for r in outs["p"]["recon"])
             y, u, v = planes_of(i0 + 2 * k)
-            arrays, _ = compute_b_rows(y, u, v, past, fut, qp, qp_c)
+            arrays, _ = compute_b_rows(y, u, v, past, fut, qp, qp_c,
+                                       tu_split=self.tu_split)
             if self.sao:
                 arrays["sao"] = np.asarray(outs[key]["sao"][k])
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
@@ -670,7 +685,8 @@ class H265DeviceEncoder:
         else:
             ref = run_ref if f == 0 else tuple(r[f - 1] for r in recons)
             ref = tuple(np.asarray(p).astype(np.int32) for p in ref)
-            arrays, _ = compute_p_rows(y, u, v, ref, qp, qp_c)
+            arrays, _ = compute_p_rows(y, u, v, ref, qp, qp_c,
+                                       tu_split=self.tu_split)
         if sao_f is not None:
             arrays["sao"] = np.asarray(sao_f)
         rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)

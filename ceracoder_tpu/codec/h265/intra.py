@@ -19,6 +19,7 @@ from ceracoder_tpu.codec.h265.tables import (
     CHROMA_SCALE,
     INV_QUANT_SCALES,
     QUANT_SCALES,
+    T4,
     T8,
     T16,
 )
@@ -34,7 +35,8 @@ CAND_MODES = (PLANAR, DC, HOR, VER, 2, 3, 4, 5, 6, 7, 8, 9)
 # intraPredAngle for modes 2..10 (spec Table 8-5)
 ANGLES = {2: 32, 3: 26, 4: 21, 5: 17, 6: 13, 7: 9, 8: 5, 9: 2, 10: 0}
 
-_T = {8: T8.astype(np.int64), 16: T16.astype(np.int64)}
+_T = {4: T4.astype(np.int64), 8: T8.astype(np.int64),
+      16: T16.astype(np.int64)}
 
 
 def chroma_qp(qp_y: int) -> int:

@@ -135,6 +135,74 @@ def compute_intra_rows(y, u, v, qp: int, qp_c: int):
     return arrays, (rec_y, rec_u, rec_v)
 
 
+# deterministic integer bit-cost proxy for the TU-split decision
+# (shared with the device twin; only comparisons matter)
+def _tb_bits(lv) -> int:
+    a = np.abs(lv)
+    nnz = int((a > 0).sum())
+    if nnz == 0:
+        return 2
+    return 24 + 6 * nnz + 2 * int(np.minimum(a, 8).sum())
+
+
+def _code_inter_tus(src_y, pred_y, src_u, pred_u, src_v, pred_v,
+                    qp: int, qp_c: int, lam: int):
+    """Code one inter CU's residual both as single TUs (16 luma /
+    8 chroma) and split (4x8 luma / 4x4 chroma); pick by
+    16*SSD + lambda*bits. Returns (split, lv_y, lv_cb, lv_cr,
+    rec_y, rec_u, rec_v) with split-level arrays stored in place
+    (quadrant blocks at their spatial positions)."""
+    def code(src, pred, n, qpx):
+        lv = I.quantize(I.fwd_transform(src - pred), qpx, intra=False)
+        if lv.any():
+            rec = np.clip(pred + I.inv_transform(
+                I.dequantize(lv, qpx)), 0, 255)
+        else:
+            rec = np.clip(pred, 0, 255)
+        return lv.astype(np.int32), rec
+
+    def quads(src, pred, n, qpx):
+        lv = np.zeros_like(src, dtype=np.int32)
+        rec = np.zeros_like(src)
+        h = n // 2
+        for by in (0, h):
+            for bx in (0, h):
+                lq, rq = code(src[by:by + h, bx:bx + h],
+                              pred[by:by + h, bx:bx + h], h, qpx)
+                lv[by:by + h, bx:bx + h] = lq
+                rec[by:by + h, bx:bx + h] = rq
+        return lv, rec
+
+    # option A: single TUs
+    lvA = [code(src_y, pred_y, 16, qp),
+           code(src_u, pred_u, 8, qp_c),
+           code(src_v, pred_v, 8, qp_c)]
+    # option B: quadrants
+    lvB = [quads(src_y, pred_y, 16, qp),
+           quads(src_u, pred_u, 8, qp_c),
+           quads(src_v, pred_v, 8, qp_c)]
+
+    def cost(opt, split):
+        ssd = 0
+        bits = 4 if split else 2
+        for (lv, rec), src in zip(opt, (src_y, src_u, src_v)):
+            ssd += int(((src - rec) ** 2).sum())
+            if split:
+                h = lv.shape[0] // 2
+                for by in (0, h):
+                    for bx in (0, h):
+                        bits += _tb_bits(lv[by:by + h, bx:bx + h])
+            else:
+                bits += _tb_bits(lv)
+        return 16 * ssd + lam * bits
+
+    if cost(lvB, True) < cost(lvA, False):
+        (ly, ry), (lu, ru), (lvv, rv) = lvB
+        return True, ly, lu, lvv, ry, ru, rv
+    (ly, ry), (lu, ru), (lvv, rv) = lvA
+    return False, ly, lu, lvv, ry, ru, rv
+
+
 def _code_tu_pred(src, recp, pred, x0, y0, qp, intra=True):
     coef = I.quantize(I.fwd_transform(src - pred), qp, intra=intra)
     if coef.any():
@@ -149,7 +217,8 @@ def _code_tu_pred(src, recp, pred, x0, y0, qp, intra=True):
     return cbf, coef.astype(np.int32)
 
 
-def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
+def compute_p_rows(y, u, v, ref, qp: int, qp_c: int,
+                   tu_split: bool = False):
     """Numpy reference of the device P op. ref = (y, u, v) padded
     recon of the previous picture. Adds to the intra arrays:
 
@@ -168,9 +237,12 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
     is_intra = np.zeros((nch, ncw), bool)
     mode = np.zeros((nch, ncw), np.int32)
     mv = np.zeros((nch, ncw, 2), np.int32)
+    tsplit = np.zeros((nch, ncw), bool)
     luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
     cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
     cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
+    from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
+    lam = SAO_LAMBDA[min(max(qp, 0), 69)]
 
     mvs = motion_search(y, ref_y)
     planes = luma_qpel_planes(ref_y)
@@ -209,23 +281,37 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int):
                         src_c, recp, pr, cx0, cy0, qp_c)
             else:
                 mv[cy, cx] = mv_q
-                _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, pred_y, x0, y0, qp, intra=False)
                 pred_u = pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc]
                 pred_v = pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
                 src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
-                _, cb_lv[cy, cx] = _code_tu_pred(
-                    src_u, rec_u, pred_u, cx0, cy0, qp_c, intra=False)
-                _, cr_lv[cy, cx] = _code_tu_pred(
-                    src_v, rec_v, pred_v, cx0, cy0, qp_c, intra=False)
+                if tu_split:
+                    (sp, luma_lv[cy, cx], cb_lv[cy, cx],
+                     cr_lv[cy, cx], ry, ru, rv) = _code_inter_tus(
+                        src, pred_y, src_u, pred_u, src_v, pred_v,
+                        qp, qp_c, lam)
+                    tsplit[cy, cx] = sp
+                    rec_y[y0:y0 + CTB, x0:x0 + CTB] = ry
+                    rec_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru
+                    rec_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv
+                else:
+                    _, luma_lv[cy, cx] = _code_tu_pred(
+                        src, rec_y, pred_y, x0, y0, qp, intra=False)
+                    _, cb_lv[cy, cx] = _code_tu_pred(
+                        src_u, rec_u, pred_u, cx0, cy0, qp_c,
+                        intra=False)
+                    _, cr_lv[cy, cx] = _code_tu_pred(
+                        src_v, rec_v, pred_v, cx0, cy0, qp_c,
+                        intra=False)
 
     arrays = {"is_intra": is_intra, "mode": mode, "mv": mv,
+              "tu_split": tsplit,
               "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
     return arrays, (rec_y, rec_u, rec_v)
 
 
-def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
+def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int,
+                   tu_split: bool = False):
     """Numpy reference of the device B op: every inter CU bi-predicted
     (list 0 = past reference, list 1 = future), per-list quarter-pel
     motion, 14-bit intermediate combine (spec 8.5.4.2.3.2), per-CTB
@@ -242,6 +328,9 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
     mode = np.zeros((nch, ncw), np.int32)
     mv0 = np.zeros((nch, ncw, 2), np.int32)
     mv1 = np.zeros((nch, ncw, 2), np.int32)
+    tsplit = np.zeros((nch, ncw), bool)
+    from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
+    lam = SAO_LAMBDA[min(max(qp, 0), 69)]
     luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
     cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
     cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
@@ -292,20 +381,34 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int):
             else:
                 mv0[cy, cx] = mvq[0][cy, cx]
                 mv1[cy, cx] = mvq[1][cy, cx]
-                _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, pred_y, x0, y0, qp, intra=False)
-                _, cb_lv[cy, cx] = _code_tu_pred(
-                    u[cy0:cy0 + nc, cx0:cx0 + nc], rec_u,
-                    pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                    cx0, cy0, qp_c, intra=False)
-                _, cr_lv[cy, cx] = _code_tu_pred(
-                    v[cy0:cy0 + nc, cx0:cx0 + nc], rec_v,
-                    pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                    cx0, cy0, qp_c, intra=False)
+                if tu_split:
+                    (sp, luma_lv[cy, cx], cb_lv[cy, cx],
+                     cr_lv[cy, cx], ry, ru, rv) = _code_inter_tus(
+                        src, pred_y,
+                        u[cy0:cy0 + nc, cx0:cx0 + nc],
+                        pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                        v[cy0:cy0 + nc, cx0:cx0 + nc],
+                        pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                        qp, qp_c, lam)
+                    tsplit[cy, cx] = sp
+                    rec_y[y0:y0 + CTB, x0:x0 + CTB] = ry
+                    rec_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru
+                    rec_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv
+                else:
+                    _, luma_lv[cy, cx] = _code_tu_pred(
+                        src, rec_y, pred_y, x0, y0, qp, intra=False)
+                    _, cb_lv[cy, cx] = _code_tu_pred(
+                        u[cy0:cy0 + nc, cx0:cx0 + nc], rec_u,
+                        pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                        cx0, cy0, qp_c, intra=False)
+                    _, cr_lv[cy, cx] = _code_tu_pred(
+                        v[cy0:cy0 + nc, cx0:cx0 + nc], rec_v,
+                        pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
+                        cx0, cy0, qp_c, intra=False)
 
     arrays = {"is_intra": is_intra, "mode": mode, "mv": mv0,
-              "mv1": mv1, "luma_lv": luma_lv, "cb_lv": cb_lv,
-              "cr_lv": cr_lv}
+              "mv1": mv1, "tu_split": tsplit, "luma_lv": luma_lv,
+              "cb_lv": cb_lv, "cr_lv": cr_lv}
     return arrays, (rec_y, rec_u, rec_v)
 
 
@@ -356,6 +459,8 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
     st = slice_type or ("I" if idr else "P")
     is_b = st == "B"
     mv1 = arrays["mv1"] if is_b else None
+    tu_split_enabled = p.tu_split_inter
+    tsplit = arrays.get("tu_split")
     nch, ncw = is_intra.shape
     init_type = 0 if idr else (2 if is_b else 1)
     tiles = p.tile_rows and nch > 1
@@ -478,20 +583,12 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
                         enc.encode_bin(ctx, off["rqt_root_cbf"],
                                        1 if any_cbf else 0)
                     if any_cbf:
-                        enc.encode_bin(ctx, off["cbf_chroma"], cbf_b)
-                        enc.encode_bin(ctx, off["cbf_chroma"], cbf_r)
-                        if cbf_b or cbf_r:
-                            enc.encode_bin(ctx, off["cbf_luma"] + 1,
-                                           cbf_l)
-                        if cbf_l:
-                            encode_residual(enc, ctx, off,
-                                            luma_lv[cy, cx], 0)
-                        if cbf_b:
-                            encode_residual(enc, ctx, off,
-                                            cb_lv[cy, cx], 1)
-                        if cbf_r:
-                            encode_residual(enc, ctx, off,
-                                            cr_lv[cy, cx], 2)
+                        split = bool(tsplit[cy, cx]) \
+                            if tsplit is not None else False
+                        _code_inter_transform_tree(
+                            enc, ctx, off, tu_split_enabled, split,
+                            luma_lv[cy, cx], cb_lv[cy, cx],
+                            cr_lv[cy, cx])
                     left_skip = False
                 left_is_intra = False
                 left_is_inter = True
@@ -512,6 +609,58 @@ def entropy_rows(p: HevcParams, arrays: dict, qp: int, idr: bool,
         return [_assemble_tiles(p, out, qp, idr, poc, ref_poc_delta,
                                 None if idr else st, fwd_poc_delta)]
     return out
+
+
+def _code_inter_transform_tree(enc, ctx, off, tu_split_enabled: bool,
+                               split: bool, luma, cb, cr) -> None:
+    """transform_tree for a non-skip inter CU with rqt_root_cbf == 1
+    (spec 7.3.8.8): optional depth-0 split into 4x8x8 luma + 4x4
+    chroma TUs (z-order children; chroma cbf at both depths)."""
+    if tu_split_enabled:
+        # split_transform_flag, ctx 5 - log2TrafoSize(4) = 1
+        enc.encode_bin(ctx, off["split_tu"] + 1, 1 if split else 0)
+    if not split:
+        cbf_l = 1 if luma.any() else 0
+        cbf_b = 1 if cb.any() else 0
+        cbf_r = 1 if cr.any() else 0
+        enc.encode_bin(ctx, off["cbf_chroma"], cbf_b)
+        enc.encode_bin(ctx, off["cbf_chroma"], cbf_r)
+        if cbf_b or cbf_r:
+            enc.encode_bin(ctx, off["cbf_luma"] + 1, cbf_l)
+        if cbf_l:
+            encode_residual(enc, ctx, off, luma, 0)
+        if cbf_b:
+            encode_residual(enc, ctx, off, cb, 1)
+        if cbf_r:
+            encode_residual(enc, ctx, off, cr, 2)
+        return
+    # depth-0 chroma cbf (ctxInc = trafoDepth = 0)
+    cb_q = [cb[by:by + 4, bx:bx + 4]
+            for by in (0, 4) for bx in (0, 4)]
+    cr_q = [cr[by:by + 4, bx:bx + 4]
+            for by in (0, 4) for bx in (0, 4)]
+    l_q = [luma[by:by + 8, bx:bx + 8]
+           for by in (0, 8) for bx in (0, 8)]
+    cbf_b0 = 1 if cb.any() else 0
+    cbf_r0 = 1 if cr.any() else 0
+    enc.encode_bin(ctx, off["cbf_chroma"], cbf_b0)
+    enc.encode_bin(ctx, off["cbf_chroma"], cbf_r0)
+    for k in range(4):                 # z-order: TL, TR, BL, BR
+        cbf_b1 = 1 if cb_q[k].any() else 0
+        cbf_r1 = 1 if cr_q[k].any() else 0
+        if cbf_b0:
+            enc.encode_bin(ctx, off["cbf_chroma"] + 1, cbf_b1)
+        if cbf_r0:
+            enc.encode_bin(ctx, off["cbf_chroma"] + 1, cbf_r1)
+        cbf_l1 = 1 if l_q[k].any() else 0
+        # leaf at trafoDepth 1: cbf_luma always coded, ctx 0
+        enc.encode_bin(ctx, off["cbf_luma"], cbf_l1)
+        if cbf_l1:
+            encode_residual(enc, ctx, off, l_q[k], 0)
+        if cbf_b0 and cbf_b1:
+            encode_residual(enc, ctx, off, cb_q[k], 1)
+        if cbf_r0 and cbf_r1:
+            encode_residual(enc, ctx, off, cr_q[k], 2)
 
 
 def _code_sao(enc, ctx, off, sao, cy: int, cx: int) -> None:
@@ -574,7 +723,8 @@ _NATIVE_OFF_ORDER = (
     "part_mode", "prev_intra", "chroma_pred", "cbf_luma", "cbf_chroma",
     "last_x", "last_y", "csbf", "sig", "gr1", "gr2", "split_cu", "skip",
     "pred_mode", "merge_flag", "merge_idx", "mvp_flag", "mvd_gr",
-    "rqt_root_cbf", "inter_pred_idc", "sao_merge", "sao_type")
+    "rqt_root_cbf", "inter_pred_idc", "sao_merge", "sao_type",
+    "split_tu")
 
 
 def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
@@ -643,8 +793,16 @@ def entropy_rows_native(p: HevcParams, arrays: dict, qp: int, idr: bool,
         sao_ptr = sao_arr.ctypes.data_as(ctypes.c_void_p)
     else:
         sao_ptr = None
+    ts_arr = arrays.get("tu_split")
+    if p.tu_split_inter and ts_arr is not None:
+        ts_arr = np.ascontiguousarray(ts_arr, np.uint8)
+        ts_ptr = ts_arr.ctypes.data_as(ctypes.c_void_p)
+    else:
+        ts_arr = None
+        ts_ptr = None
     total = lib.hevc_entropy_rows(
-        nch, ncw, int(idr), int(is_b), int(tiles), sao_ptr,
+        nch, ncw, int(idr), int(is_b), int(tiles),
+        int(p.tu_split_inter), ts_ptr, sao_ptr,
         hdr_bytes.ctypes.data_as(ctypes.c_void_p),
         hdr_bits.ctypes.data_as(ctypes.c_void_p), stride,
         ctx.ctypes.data_as(ctypes.c_void_p), len(ctx),
@@ -686,7 +844,8 @@ class H265RowEncoder:
     def __init__(self, width: int, height: int, qp: int = 32,
                  gop: int = 60, native_entropy: bool = True,
                  deblock: bool = True, bframes: int = 0,
-                 tile_rows: bool = True, sao: bool = False):
+                 tile_rows: bool = True, sao: bool = False,
+                 tu_split: bool = False):
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         if width % 2 or height % 2:
@@ -699,11 +858,13 @@ class H265RowEncoder:
         self.native_entropy = native_entropy
         self.deblock = deblock
         self.bframes = 1 if bframes else 0
+        self.tu_split = tu_split
         self.params = HevcParams(width=width, height=height, qp=qp,
                                  pcm_enabled=False, deblock=deblock,
                                  max_reorder=self.bframes,
                                  max_dpb_minus1=1 + self.bframes,
-                                 tile_rows=tile_rows, sao=sao)
+                                 tile_rows=tile_rows, sao=sao,
+                                 tu_split_inter=tu_split)
         self.pw = -(-width // CTB) * CTB
         self.ph = -(-height // CTB) * CTB
         self._ref = None
@@ -733,7 +894,9 @@ class H265RowEncoder:
             *arrays["luma_lv"].shape[:2], -1).any(-1)
         return deblock_frame(*rec, arrays["is_intra"], cbf_l,
                              arrays["mv"], self.qp,
-                             mv1=arrays.get("mv1"))
+                             mv1=arrays.get("mv1"),
+                             tu_split=arrays.get("tu_split"),
+                             luma_lv=arrays["luma_lv"])
 
     def _post_filter(self, arrays, rec, planes):
         """Frame post-pass: deblock, then SAO (estimated against the
@@ -829,7 +992,8 @@ class H265RowEncoder:
 
     def _encode_p(self, planes, poc: int, ref_delta: int):
         arrays, rec = compute_p_rows(*planes, self._ref,
-                                     self.qp, self.qp_c)
+                                     self.qp, self.qp_c,
+                                     tu_split=self.tu_split)
         rec = self._post_filter(arrays, rec, planes)
         rbsps = self._entropy(arrays, idr=False, poc=poc,
                               ref_poc_delta=ref_delta)
@@ -841,7 +1005,8 @@ class H265RowEncoder:
                   qp_c: int):
         from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
 
-        arrays, rec = compute_b_rows(*planes, past, fut, qp, qp_c)
+        arrays, rec = compute_b_rows(*planes, past, fut, qp, qp_c,
+                                     tu_split=self.tu_split)
         sq = self.qp
         self.qp = qp
         rec = self._post_filter(arrays, rec, planes)

@@ -79,6 +79,8 @@ class HevcParams:
     tile_rows: bool = False
     # sample adaptive offset (frame post-pass after deblocking)
     sao: bool = False
+    # RD-chosen TU split for inter CUs (4x8x8 luma + 4x4 chroma)
+    tu_split_inter: bool = False
 
     @property
     def ctb(self) -> int:
@@ -146,7 +148,8 @@ def write_sps(p: HevcParams) -> bytes:
     w.ue(p.log2_ctb - p.log2_min_cb)        # log2_diff_max_min_cb
     w.ue(p.log2_min_tb - 2)                 # log2_min_tb_size_minus2
     w.ue(p.log2_max_tb - p.log2_min_tb)     # log2_diff_max_min_tb
-    w.ue(0)         # max_transform_hierarchy_depth_inter
+    w.ue(1 if p.tu_split_inter else 0)
+    #               ^ max_transform_hierarchy_depth_inter
     w.ue(0)         # max_transform_hierarchy_depth_intra
     w.flag(0)       # scaling_list_enabled_flag
     w.flag(0)       # amp_enabled_flag

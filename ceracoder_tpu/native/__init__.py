@@ -172,6 +172,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.hevc_entropy_rows.argtypes = [
         ctypes.c_int, ctypes.c_int,                    # nch, ncw
         ctypes.c_int, ctypes.c_int, ctypes.c_int,      # idr, is_b, tiles
+        ctypes.c_int, ctypes.c_void_p,                 # tu split en/flags
         ctypes.c_void_p,                               # sao params
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # hdr b/bits/stride
         ctypes.c_void_p, ctypes.c_int,                 # ctx_init, n_ctx

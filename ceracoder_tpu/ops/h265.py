@@ -33,10 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
 from ceracoder_tpu.codec.h265.tables import (
     CHROMA_FILTER,
     INV_QUANT_SCALES,
     QUANT_SCALES,
+    T4,
     T8,
     T16,
 )
@@ -109,6 +111,76 @@ def _code_tu(src, pred, qp, t, log2n: int, intra: bool = True):
     rec = jnp.clip(pred + jnp.where(cbf[..., None, None], rec_res, 0),
                    0, 255)
     return lv, rec
+
+
+def _quads(x):
+    """(..., n, n) -> (..., 4, n/2, n/2), z-order TL/TR/BL/BR."""
+    *lead, n, _ = x.shape
+    h = n // 2
+    q = x.reshape(*lead, 2, h, 2, h)
+    q = jnp.moveaxis(q, -2, -3)               # (..., 2, 2, h, h)
+    return q.reshape(*lead, 4, h, h)
+
+
+def _unquads(q):
+    """Inverse of _quads."""
+    *lead, _, h, _ = q.shape
+    q = q.reshape(*lead, 2, 2, h, h)
+    q = jnp.moveaxis(q, -3, -2)
+    return q.reshape(*lead, 2 * h, 2 * h)
+
+
+def _tb_bits_dev(lv):
+    """Twin of rowslice._tb_bits: (..., n, n) -> (...,) int32."""
+    a = jnp.abs(lv)
+    flat = a.reshape(*a.shape[:-2], -1)
+    nnz = (flat > 0).sum(-1)
+    bits = 24 + 6 * nnz + 2 * jnp.minimum(flat, 8).sum(-1)
+    return jnp.where(nnz == 0, 2, bits)
+
+
+def _code_inter_tus_dev(sy, su, sv, py, pu, pv, qp, qp_c, lam,
+                        t16, t8, t4):
+    """Twin of rowslice._code_inter_tus, batched over leading dims:
+    per-CU choice of single TUs (16 luma / 8 chroma) vs quadrant
+    split (4x8 luma / 4x4 chroma) by 16*SSD + lambda*bits. Returns
+    (split, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v) with split-level
+    arrays stored in place."""
+    # option A: single TUs
+    alv = [_code_tu(sy, py, qp, t16, 4, intra=False),
+           _code_tu(su, pu, qp_c, t8, 3, intra=False),
+           _code_tu(sv, pv, qp_c, t8, 3, intra=False)]
+    # option B: quadrants (coded independently; inter pred has no
+    # intra-CU dependency so the 4 sub-TUs batch on the MXU)
+    blv = []
+    for src, pred, t, l2, q in ((sy, py, t8, 3, qp),
+                                (su, pu, t4, 2, qp_c),
+                                (sv, pv, t4, 2, qp_c)):
+        lq, rq = _code_tu(_quads(src), _quads(pred), q, t, l2,
+                          intra=False)
+        blv.append((_unquads(lq), _unquads(rq)))
+
+    # int32 bounds (qp <= 51): 16*ssd <= 16*(256+2*64)*255^2 ~ 4.0e8,
+    # lam*bits <= 74711 * 8740 ~ 6.6e8; sum < 2^31.
+    def cost(opt, split):
+        ssd = jnp.zeros(sy.shape[:-2], jnp.int32)
+        bits = jnp.full(sy.shape[:-2], 4 if split else 2, jnp.int32)
+        for (lv, rec), src in zip(opt, (sy, su, sv)):
+            d = src - rec
+            ssd += (d * d).reshape(*d.shape[:-2], -1).sum(-1)
+            if split:
+                bits += _tb_bits_dev(_quads(lv)).sum(-1)
+            else:
+                bits += _tb_bits_dev(lv)
+        return 16 * ssd + lam * bits
+
+    split = cost(blv, True) < cost(alv, False)
+    m = split[..., None, None]
+    out = [jnp.where(m, b, a)
+           for (b, _), (a, _) in zip(blv, alv)]
+    rec = [jnp.where(m, b, a)
+           for (_, b), (_, a) in zip(blv, alv)]
+    return (split, *out, *rec)
 
 
 # ---------------------------------------------------------------------------
@@ -504,43 +576,84 @@ def _chroma_edge_filter(p, q, bs, qp):
     return out_p, out_q
 
 
-def _deblock_axis(y, u, v, bs, qp, nblk: int):
-    """Filter all interior vertical CTB edges of one orientation.
-    y: (H, W) with edges every 16 columns; bs: (rows_of_blocks, n-1)
-    per-edge strengths; nblk = W // 16."""
+def _nnz8_map_dev(luma_lv, cbf_l, tu_split):
+    """Twin of deblock.nnz8_map: per-8x8-quadrant luma TB nonzero map
+    (2nch, 2ncw) — quadrant flag for split CUs, CU TB flag else."""
+    nch, ncw = cbf_l.shape
+    qz = (luma_lv.reshape(nch, ncw, 2, 8, 2, 8) != 0).any((3, 5))
+    cu = jnp.broadcast_to(cbf_l[:, :, None, None] != 0,
+                          (nch, ncw, 2, 2))
+    sp = jnp.broadcast_to(tu_split[:, :, None, None],
+                          (nch, ncw, 2, 2))
+    out = jnp.where(sp, qz, cu)
+    return out.transpose(0, 2, 1, 3).reshape(2 * nch, 2 * ncw)
+
+
+def _seg_bs_dev(ii_a, ii_b, mv_a, mv_b, m1a, m1b, nz_pair):
+    """Twin of deblock._seg_bs, batched: per-CU inputs (nch, E),
+    nz_pair per segment (2nch, E); returns (2nch, E) strengths."""
+    ii = jnp.repeat(ii_a | ii_b, 2, axis=0)
+    mvd = (jnp.abs(mv_a - mv_b) >= 4).any(-1)
+    if m1a is not None:
+        mvd |= (jnp.abs(m1a - m1b) >= 4).any(-1)
+    mvd = jnp.repeat(mvd, 2, axis=0)
+    return jnp.where(ii, 2,
+                     jnp.where(nz_pair | mvd, 1, 0)).astype(jnp.int32)
+
+
+def _deblock_axis(y, u, v, bs, bs_seg, int_bs, qp, nblk: int):
+    """Filter all vertical edges of one orientation.
+
+    y: (H, W) with CU edges every 16 columns. bs: (nrow_blocks, E)
+    per-CTB strengths (chroma; constant along the edge), bs_seg:
+    (2*nrow_blocks, E) luma per-8-sample-segment strengths, int_bs:
+    (2*nrow_blocks, nblk) interior TU-edge strengths of split CUs (or
+    None). CU-boundary and interior filters touch disjoint samples
+    (>=2 columns apart), so their order is immaterial."""
     h, w = y.shape
     e = nblk - 1
-    if e == 0:
-        return y, u, v
-    yv = y.reshape(h, nblk, CTB)
-    p = yv[:, :-1, CTB - 4:].transpose(1, 0, 2)      # (E, H, 4)
-    q = yv[:, 1:, :4].transpose(1, 0, 2)
-    bs_l = jnp.repeat(bs, CTB, axis=0).T             # (E, H)
-    fp, fq = _luma_edge_filter(p, q, bs_l, qp)
-    yv = yv.at[:, :-1, CTB - 4:].set(fp.transpose(1, 0, 2))
-    yv = yv.at[:, 1:, :4].set(fq.transpose(1, 0, 2))
-    y = yv.reshape(h, w)
+    if e:
+        yv = y.reshape(h, nblk, CTB)
+        p = yv[:, :-1, CTB - 4:].transpose(1, 0, 2)  # (E, H, 4)
+        q = yv[:, 1:, :4].transpose(1, 0, 2)
+        bs_l = jnp.repeat(bs_seg, 8, axis=0).T       # (E, H)
+        fp, fq = _luma_edge_filter(p, q, bs_l, qp)
+        yv = yv.at[:, :-1, CTB - 4:].set(fp.transpose(1, 0, 2))
+        yv = yv.at[:, 1:, :4].set(fq.transpose(1, 0, 2))
+        y = yv.reshape(h, w)
 
-    hc, wc = u.shape
-    nc = CTB // 2
-    bs_c = jnp.repeat(bs, nc, axis=0).T              # (E, Hc)
-    outs = []
-    for plane in (u, v):
-        pv = plane.reshape(hc, nblk, nc)
-        pc = pv[:, :-1, nc - 2:].transpose(1, 0, 2)
-        qc = pv[:, 1:, :2].transpose(1, 0, 2)
-        fpc, fqc = _chroma_edge_filter(pc, qc, bs_c, qp)
-        pv = pv.at[:, :-1, nc - 2:].set(fpc.transpose(1, 0, 2))
-        pv = pv.at[:, 1:, :2].set(fqc.transpose(1, 0, 2))
-        outs.append(pv.reshape(hc, wc))
-    return y, outs[0], outs[1]
+        hc, wc = u.shape
+        nc = CTB // 2
+        bs_c = jnp.repeat(bs, nc, axis=0).T          # (E, Hc)
+        outs = []
+        for plane in (u, v):
+            pv = plane.reshape(hc, nblk, nc)
+            pc = pv[:, :-1, nc - 2:].transpose(1, 0, 2)
+            qc = pv[:, 1:, :2].transpose(1, 0, 2)
+            fpc, fqc = _chroma_edge_filter(pc, qc, bs_c, qp)
+            pv = pv.at[:, :-1, nc - 2:].set(fpc.transpose(1, 0, 2))
+            pv = pv.at[:, 1:, :2].set(fqc.transpose(1, 0, 2))
+            outs.append(pv.reshape(hc, wc))
+        u, v = outs
+    if int_bs is not None:
+        yv = y.reshape(h, nblk, CTB)
+        p = yv[:, :, 4:8].transpose(1, 0, 2)         # (nblk, H, 4)
+        q = yv[:, :, 8:12].transpose(1, 0, 2)
+        bs_i = jnp.repeat(int_bs, 8, axis=0).T       # (nblk, H)
+        fp, fq = _luma_edge_filter(p, q, bs_i, qp)
+        yv = yv.at[:, :, 4:8].set(fp.transpose(1, 0, 2))
+        yv = yv.at[:, :, 8:12].set(fq.transpose(1, 0, 2))
+        y = yv.reshape(h, w)
+    return y, u, v
 
 
 def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
-                      mv1=None):
+                      mv1=None, tu_split=None, luma_lv=None):
     """Device HEVC deblock post-pass; twin of
     codec/h265/deblock.py:deblock_frame (vertical edges over the whole
-    picture, then horizontal edges on the result). mv1 for B frames."""
+    picture, then horizontal edges on the result). mv1 for B frames;
+    tu_split + luma_lv enable per-quadrant boundary strengths and the
+    interior 8-aligned TU edges of split CUs."""
     y = jnp.asarray(rec_y).astype(jnp.int32)
     u = jnp.asarray(rec_u).astype(jnp.int32)
     v = jnp.asarray(rec_v).astype(jnp.int32)
@@ -551,9 +664,36 @@ def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
         mv1 = jnp.asarray(mv1)
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
+    split = (jnp.zeros((nch, ncw), bool) if tu_split is None
+             else jnp.asarray(tu_split))
+    if luma_lv is None:
+        nnz8 = _nnz8_map_dev(jnp.zeros((nch, ncw, 1, 1), jnp.int32)
+                             .repeat(CTB, 2).repeat(CTB, 3),
+                             cbf_l, split)
+    else:
+        nnz8 = _nnz8_map_dev(jnp.asarray(luma_lv), cbf_l, split)
     bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv, mv1)
-    y, u, v = _deblock_axis(y, u, v, bs_v, qp, ncw)
-    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, qp, nch)
+
+    def seg_and_int(ii, mvx, m1x, nnz8x, splitx, n):
+        segs = _seg_bs_dev(
+            ii[:, :-1], ii[:, 1:], mvx[:, :-1], mvx[:, 1:],
+            None if m1x is None else m1x[:, :-1],
+            None if m1x is None else m1x[:, 1:],
+            nnz8x[:, 1:-1:2] | nnz8x[:, 2::2]) if n > 1 else             jnp.zeros((2 * ii.shape[0], 0), jnp.int32)
+        nz_int = nnz8x[:, ::2] | nnz8x[:, 1::2]
+        sp2 = jnp.repeat(splitx, 2, axis=0)
+        int_bs = jnp.where(sp2 & nz_int, 1, 0).astype(jnp.int32)
+        return segs, int_bs
+
+    seg_v, int_v = seg_and_int(is_intra, mv, mv1, nnz8, split, ncw)
+    y, u, v = _deblock_axis(y, u, v, bs_v, seg_v, int_v, qp, ncw)
+
+    mv_t = mv.swapaxes(0, 1)
+    mv1_t = None if mv1 is None else mv1.swapaxes(0, 1)
+    seg_h, int_h = seg_and_int(is_intra.T, mv_t, mv1_t, nnz8.T,
+                               split.T, nch)
+    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, seg_h, int_h,
+                               qp, nch)
     return (yt.T.astype(jnp.uint8), ut.T.astype(jnp.uint8),
             vt.T.astype(jnp.uint8))
 
@@ -652,6 +792,7 @@ def _i_frame_core(y, u, v, qp, qp_c):
         "is_intra": jnp.ones((nch, ncw), bool),
         "mode": mode.T,
         "mv": jnp.zeros((nch, ncw, 2), jnp.int32),
+        "tu_split": jnp.zeros((nch, ncw), bool),
         "luma_lv": lv_y.swapaxes(0, 1),
         "cb_lv": lv_u.swapaxes(0, 1),
         "cr_lv": lv_v.swapaxes(0, 1),
@@ -697,7 +838,8 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
     return pos[:cap], val[:cap], counts.reshape(nch, ncw, 3), nnz
 
 
-def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
+def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                  tu_split: bool = False):
     """P frame core (see encode_frame_p_rows). Single-chip: the
     reference is edge-padded here (== the spec's picture-edge clip);
     sharded callers use _p_frame_core_padded with halo rows instead."""
@@ -706,11 +848,12 @@ def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
     ref_u_pad = jnp.pad(jnp.asarray(ref_u), CHROMA_PAD, mode="edge")
     ref_v_pad = jnp.pad(jnp.asarray(ref_v), CHROMA_PAD, mode="edge")
     return _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad,
-                                ref_v_pad, qp, qp_c)
+                                ref_v_pad, qp, qp_c,
+                                tu_split=tu_split)
 
 
 def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
-                         qp, qp_c):
+                         qp, qp_c, tu_split: bool = False):
     """P frame core over pre-padded references: ref_y_pad carries
     LUMA_SRC_PAD extra rows/cols, ref_u/v_pad CHROMA_PAD. The pad
     content defines the out-of-band semantics (edge replication on a
@@ -729,13 +872,15 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     pred_u = _mc_chroma_qpel(ref_u_pad, mv_q, hc, wc)
     pred_v = _mc_chroma_qpel(ref_v_pad, mv_q, hc, wc)
 
-    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c)
+    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp,
+                             qp_c, tu_split=tu_split)
     is_intra = outs["is_intra"]
     outs["mv"] = jnp.where(is_intra[..., None], 0, mv_q)
     return outs
 
 
-def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c):
+def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c,
+                  tu_split: bool = False):
     """B frame core: per-list quarter-pel motion against the past
     (list 0) and future (list 1) references, 14-bit bi-prediction
     combine (spec 8.5.4.2.3.2), per-CTB intra fallback. Matches
@@ -768,14 +913,16 @@ def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c):
     pred_u = _bi_combine(pu14[0], pu14[1])
     pred_v = _bi_combine(pv14[0], pv14[1])
 
-    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c)
+    outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp,
+                             qp_c, tu_split=tu_split)
     is_intra = outs["is_intra"]
     outs["mv"] = jnp.where(is_intra[..., None], 0, mvs[0])
     outs["mv1"] = jnp.where(is_intra[..., None], 0, mvs[1])
     return outs
 
 
-def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
+def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
+                      tu_split: bool = False):
     """Shared P/B tail: inter residuals, column scan with per-CTB
     intra fallback against the given inter prediction, recon."""
     h, w = y.shape
@@ -786,14 +933,26 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
     inter_sad = _satd8_frame(y - pred_y)
 
     # inter residuals (carry-independent: outside the scan)
-    ilv_y, irec_y = _code_tu(_col_view(y, CTB), _col_view(pred_y, CTB),
-                             qp, t16, 4, intra=False)
-    ilv_u, irec_u = _code_tu(_col_view(u, CTB // 2),
-                             _col_view(pred_u, CTB // 2), qp_c, t8, 3,
-                             intra=False)
-    ilv_v, irec_v = _code_tu(_col_view(v, CTB // 2),
-                             _col_view(pred_v, CTB // 2), qp_c, t8, 3,
-                             intra=False)
+    if tu_split:
+        t4 = jnp.asarray(T4, jnp.int32)
+        lam = jnp.asarray(SAO_LAMBDA, jnp.int32)[jnp.clip(qp, 0, 69)]
+        (split_cols, ilv_y, ilv_u, ilv_v,
+         irec_y, irec_u, irec_v) = _code_inter_tus_dev(
+            _col_view(y, CTB), _col_view(u, CTB // 2),
+            _col_view(v, CTB // 2), _col_view(pred_y, CTB),
+            _col_view(pred_u, CTB // 2), _col_view(pred_v, CTB // 2),
+            qp, qp_c, lam, t16, t8, t4)
+    else:
+        split_cols = jnp.zeros((ncw, nch), bool)
+        ilv_y, irec_y = _code_tu(_col_view(y, CTB),
+                                 _col_view(pred_y, CTB),
+                                 qp, t16, 4, intra=False)
+        ilv_u, irec_u = _code_tu(_col_view(u, CTB // 2),
+                                 _col_view(pred_u, CTB // 2), qp_c, t8,
+                                 3, intra=False)
+        ilv_v, irec_v = _code_tu(_col_view(v, CTB // 2),
+                                 _col_view(pred_v, CTB // 2), qp_c, t8,
+                                 3, intra=False)
 
     ys = _col_view(y, CTB)
     us = _col_view(u, CTB // 2)
@@ -852,6 +1011,7 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
     return {
         "is_intra": is_intra,
         "mode": jnp.where(is_intra, mode.T, 0),
+        "tu_split": split_cols.T & ~is_intra,
         "luma_lv": lv_y.swapaxes(0, 1),
         "cb_lv": lv_u.swapaxes(0, 1),
         "cr_lv": lv_v.swapaxes(0, 1),
@@ -862,8 +1022,10 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c):
 
 
 encode_frame_i_rows = jax.jit(_i_frame_core)
-encode_frame_p_rows = jax.jit(_p_frame_core)
-encode_frame_b_rows = jax.jit(_b_frame_core)
+encode_frame_p_rows = jax.jit(_p_frame_core,
+                              static_argnames=("tu_split",))
+encode_frame_b_rows = jax.jit(_b_frame_core,
+                              static_argnames=("tu_split",))
 
 
 # ---------------------------------------------------------------------------
@@ -872,11 +1034,12 @@ encode_frame_b_rows = jax.jit(_b_frame_core)
 
 @partial(jax.jit,
          static_argnames=("cap", "any_idr", "deblock", "sao",
-                          "source_fn"))
+                          "tu_split", "source_fn"))
 def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
                     ref_y, ref_u, ref_v, frame_idx,
                     cap: int, any_idr: bool, deblock: bool,
-                    sao: bool = False, source_fn=None):
+                    sao: bool = False, tu_split: bool = False,
+                    source_fn=None):
     """Encode a run of frames in ONE compiled dispatch (the HEVC
     analog of codec/h264/device_entropy.encode_run_packed).
 
@@ -895,19 +1058,23 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
             outs = jax.lax.cond(
                 idr,
                 lambda r: _i_frame_core(y, u, v, qp, qp_c),
-                lambda r: _p_frame_core(y, u, v, *r, qp, qp_c),
+                lambda r: _p_frame_core(y, u, v, *r, qp, qp_c,
+                                        tu_split=tu_split),
                 ref)
         else:
-            outs = _p_frame_core(y, u, v, *ref, qp, qp_c)
+            outs = _p_frame_core(y, u, v, *ref, qp, qp_c,
+                                 tu_split=tu_split)
         if deblock:
             cbf = outs["luma_lv"].reshape(
                 *outs["luma_lv"].shape[:2], -1).any(-1)
             rec = deblock_frame_dev(*outs["recon"], outs["is_intra"],
-                                    cbf, outs["mv"], qp)
+                                    cbf, outs["mv"], qp,
+                                    tu_split=outs["tu_split"],
+                                    luma_lv=outs["luma_lv"])
         else:
             rec = outs["recon"]
         out = {"is_intra": outs["is_intra"], "mode": outs["mode"],
-               "mv": outs["mv"]}
+               "mv": outs["mv"], "tu_split": outs["tu_split"]}
         if sao:
             sp = sao_estimate_dev((y, u, v), rec, qp)
             rec = sao_apply_dev(rec, sp)
@@ -941,12 +1108,13 @@ LEVEL_CHUNK = 32768      # sparse-level entries per transfer chunk
 
 
 @partial(jax.jit,
-         static_argnames=("cap", "deblock", "sao", "source_fn"))
+         static_argnames=("cap", "deblock", "sao", "tu_split",
+                          "source_fn"))
 def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
                      qps_b, qpcs_b, qps_p, qpcs_p,
                      ref_y, ref_u, ref_v, fidx_b, fidx_p,
                      cap: int, deblock: bool, sao: bool = False,
-                     source_fn=None):
+                     tu_split: bool = False, source_fn=None):
     """Encode an IBPBP segment's (B, P) display pairs in ONE dispatch.
 
     Pair i covers display frames (2i, 2i+1) after the segment's
@@ -958,22 +1126,28 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
     """
 
     def one(ref, yb, ub, vb, yp, up, vp, qpb, qpcb, qpp, qpcp):
-        outs_p = _p_frame_core(yp, up, vp, *ref, qpp, qpcp)
+        outs_p = _p_frame_core(yp, up, vp, *ref, qpp, qpcp,
+                               tu_split=tu_split)
         cbf_p = outs_p["luma_lv"].reshape(
             *outs_p["luma_lv"].shape[:2], -1).any(-1)
         rec_p = deblock_frame_dev(*outs_p["recon"], outs_p["is_intra"],
-                                  cbf_p, outs_p["mv"], qpp) \
+                                  cbf_p, outs_p["mv"], qpp,
+                                  tu_split=outs_p["tu_split"],
+                                  luma_lv=outs_p["luma_lv"]) \
             if deblock else outs_p["recon"]
         sao_p = None
         if sao:
             sao_p = sao_estimate_dev((yp, up, vp), rec_p, qpp)
             rec_p = sao_apply_dev(rec_p, sao_p)
-        outs_b = _b_frame_core(yb, ub, vb, *ref, *rec_p, qpb, qpcb)
+        outs_b = _b_frame_core(yb, ub, vb, *ref, *rec_p, qpb, qpcb,
+                               tu_split=tu_split)
         cbf_b = outs_b["luma_lv"].reshape(
             *outs_b["luma_lv"].shape[:2], -1).any(-1)
         rec_b = deblock_frame_dev(*outs_b["recon"], outs_b["is_intra"],
                                   cbf_b, outs_b["mv"], qpb,
-                                  outs_b["mv1"]) \
+                                  outs_b["mv1"],
+                                  tu_split=outs_b["tu_split"],
+                                  luma_lv=outs_b["luma_lv"]) \
             if deblock else outs_b["recon"]
         sao_b = None
         if sao:
@@ -984,7 +1158,8 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
             pos, val, counts, nnz = _compact_levels(
                 o["luma_lv"], o["cb_lv"], o["cr_lv"], cap)
             d = {"is_intra": o["is_intra"], "mode": o["mode"],
-                 "mv": o["mv"], "pos": pos, "val": val,
+                 "mv": o["mv"], "tu_split": o["tu_split"],
+                 "pos": pos, "val": val,
                  "counts": counts, "nnz": nnz, "recon": rec}
             if sp is not None:
                 d["sao"] = sp

@@ -33,7 +33,9 @@ from ceracoder_tpu.ops.h265 import (
     _edge_bs_dev,
     _i_frame_core,
     _luma_edge_filter,
+    _nnz8_map_dev,
     _p_frame_core_padded,
+    _seg_bs_dev,
 )
 
 
@@ -52,20 +54,41 @@ def _halo_rows(x, k: int, n_rows: int, axis_name: str = "rows"):
     return jnp.concatenate([top, x, bot], axis=1)
 
 
-def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
+def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int,
+                    tu_split=None, luma_lv=None):
     """Band-local deblock matching the whole-frame filter: vertical
-    pass (row-local), then internal horizontal edges plus the band-
-    seam edges using post-vertical halos from the neighbors."""
+    pass (row-local, incl. interior TU edges of split CUs), then
+    internal horizontal edges plus the band-seam edges using
+    post-vertical halos from the neighbors."""
     y, u, v = (p.astype(jnp.int32) for p in rec)
     hb, w = y.shape
     nbh, ncw = hb // CTB, w // CTB
     idx = jax.lax.axis_index("rows")
 
+    split = (jnp.zeros((nbh, ncw), bool) if tu_split is None
+             else tu_split)
+    if luma_lv is None:
+        luma_lv = jnp.zeros((nbh, ncw, CTB, CTB), jnp.int32)
+    nnz8 = _nnz8_map_dev(luma_lv, cbf_l, split)      # (2nbh, 2ncw)
     bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv)
+
+    def seg_and_int(ii, mvx, nnz8x, splitx, n):
+        segs = _seg_bs_dev(
+            ii[:, :-1], ii[:, 1:], mvx[:, :-1], mvx[:, 1:], None,
+            None, nnz8x[:, 1:-1:2] | nnz8x[:, 2::2]) if n > 1 else \
+            jnp.zeros((2 * ii.shape[0], 0), jnp.int32)
+        nz_int = nnz8x[:, ::2] | nnz8x[:, 1::2]
+        sp2 = jnp.repeat(splitx, 2, axis=0)
+        return segs, jnp.where(sp2 & nz_int, 1, 0).astype(jnp.int32)
+
     # vertical edges: band-local
-    y, u, v = _deblock_axis(y, u, v, bs_v, qp, ncw)
+    seg_v, int_v = seg_and_int(is_intra, mv, nnz8, split, ncw)
+    y, u, v = _deblock_axis(y, u, v, bs_v, seg_v, int_v, qp, ncw)
     # internal horizontal edges on the vertically-filtered band
-    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, qp, nbh)
+    seg_h, int_h = seg_and_int(is_intra.T, mv.swapaxes(0, 1), nnz8.T,
+                               split.T, nbh)
+    yt, ut, vt = _deblock_axis(y.T, u.T, v.T, bs_h.T, seg_h, int_h,
+                               qp, nbh)
     y_i, u_i, v_i = yt.T, ut.T, vt.T
 
     # ---- seam edges: exchange post-vertical strips + CTB metadata.
@@ -77,17 +100,28 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
     send_fwd = lambda a: jax.lax.ppermute(a, "rows", fwd)
     send_bwd = lambda a: jax.lax.ppermute(a, "rows", bwd)
 
-    # prev band's last CTB row metadata / next band's first
-    p_ii, p_cb, p_mv = (send_fwd(a[-1]) for a in (is_intra, cbf_l, mv))
-    n_ii, n_cb, n_mv = (send_bwd(a[0]) for a in (is_intra, cbf_l, mv))
+    # prev band's last CTB row metadata / next band's first; the
+    # nonzero-TB condition is per adjacent 8x8 quadrant (nnz8 edge row)
+    p_ii, p_mv, p_nz = (send_fwd(a)
+                        for a in (is_intra[-1], mv[-1], nnz8[-1]))
+    n_ii, n_mv, n_nz = (send_bwd(a)
+                        for a in (is_intra[0], mv[0], nnz8[0]))
+    p_cb, n_cb = send_fwd(cbf_l[-1]), send_bwd(cbf_l[0])
 
-    def seam_bs(ia, ib, ca, cb, ma, mb):
-        two = ia | ib
-        one = ca | cb | (jnp.abs(ma - mb) >= 4).any(-1)
-        return jnp.where(two, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
+    def seam_seg(ia, ib, ma, mb, nza, nzb):
+        ii = jnp.repeat(ia | ib, 2)
+        mvd = jnp.repeat((jnp.abs(ma - mb) >= 4).any(-1), 2)
+        return jnp.where(ii, 2, jnp.where(nza | nzb | mvd, 1, 0)
+                         ).astype(jnp.int32)
 
-    bs_top = seam_bs(p_ii, is_intra[0], p_cb, cbf_l[0], p_mv, mv[0])
-    bs_bot = seam_bs(is_intra[-1], n_ii, cbf_l[-1], n_cb, mv[-1], n_mv)
+    def seam_cbs(ia, ib, ca, cb):
+        return jnp.where(ia | ib, 2, jnp.where(ca | cb, 1, 0)
+                         ).astype(jnp.int32)
+
+    bs_top = seam_seg(p_ii, is_intra[0], p_mv, mv[0], p_nz, nnz8[0])
+    bs_bot = seam_seg(is_intra[-1], n_ii, mv[-1], n_mv, nnz8[-1], n_nz)
+    bs_ctop = seam_cbs(p_ii, is_intra[0], p_cb, cbf_l[0])
+    bs_cbot = seam_cbs(is_intra[-1], n_ii, cbf_l[-1], n_cb)
 
     # post-vertical strips from the neighbors
     yp_prev = send_fwd(y[-4:, :])
@@ -98,7 +132,7 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
     vq_next = send_bwd(v[:2, :])
 
     # --- top seam (skip on band 0): filter (prev rows | own rows 0..3)
-    bs_l = jnp.repeat(bs_top, CTB)                 # (w,)
+    bs_l = jnp.repeat(bs_top, 8)                   # (w,)
     p_lines = yp_prev.T[None]                      # (1, w, 4) p3..p0
     q_lines = y[:4, :].T[None]                     # (1, w, 4) q0..q3
     fp_top, fq_top = _luma_edge_filter(p_lines, q_lines, bs_l[None], qp)
@@ -107,7 +141,7 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
     y_i = y_i.at[:4, :].set(own_q)
 
     # --- bottom seam (skip on last band): keep p side
-    bs_l2 = jnp.repeat(bs_bot, CTB)
+    bs_l2 = jnp.repeat(bs_bot, 8)
     p_lines2 = y[-4:, :].T[None]
     q_lines2 = yq_next.T[None]
     fp_bot, _ = _luma_edge_filter(p_lines2, q_lines2, bs_l2[None], qp)
@@ -115,8 +149,8 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
     y_i = y_i.at[-4:, :].set(own_p)
 
     # --- chroma seams
-    bs_ct = jnp.repeat(bs_top, CTB // 2)
-    bs_cb = jnp.repeat(bs_bot, CTB // 2)
+    bs_ct = jnp.repeat(bs_ctop, CTB // 2)
+    bs_cb2 = jnp.repeat(bs_cbot, CTB // 2)
     outs = []
     for pl, pl_i, pp, qn in ((u, u_i, up_prev, uq_next),
                              (v, v_i, vp_prev, vq_next)):
@@ -125,7 +159,7 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
         q_side = jnp.where(idx == 0, pl_i[:2, :], fqc[0].T)
         pl_i = pl_i.at[:2, :].set(q_side)
         fpc2, _ = _chroma_edge_filter(pl[-2:, :].T[None], qn.T[None],
-                                      bs_cb[None], qp)
+                                      bs_cb2[None], qp)
         p_side = jnp.where(idx == n_rows - 1, pl_i[-2:, :], fpc2[0].T)
         pl_i = pl_i.at[-2:, :].set(p_side)
         outs.append(pl_i)
@@ -135,7 +169,7 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int):
 
 
 def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
-                      deblock: bool = True):
+                      deblock: bool = True, tu_split: bool = False):
     """Build a jitted sharded HEVC encode step over (streams, rows).
 
     Inputs: y (S, H, W), u, v (S, H/2, W/2) uint8 planes and the
@@ -163,7 +197,8 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
                 ru_pad = jnp.pad(rub, ((0, 0), (kc, kc)), mode="edge")
                 rv_pad = jnp.pad(rvb, ((0, 0), (kc, kc)), mode="edge")
                 outs = _p_frame_core_padded(yb, ub, vb, ry_pad, ru_pad,
-                                            rv_pad, qp, qp_c)
+                                            rv_pad, qp, qp_c,
+                                            tu_split=tu_split)
             return outs
 
         outs = jax.vmap(per_stream)(y, u, v, ry, ru, rv)
@@ -171,11 +206,13 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
             cbf = outs["luma_lv"].reshape(
                 *outs["luma_lv"].shape[:3], -1).any(-1)
 
-            def db(rec_y, rec_u, rec_v, ii, cb, mvv, ):
+            def db(rec_y, rec_u, rec_v, ii, cb, mvv, sp_f, ll):
                 return _deblock_banded((rec_y, rec_u, rec_v), ii, cb,
-                                       mvv, qp, n_rows)
+                                       mvv, qp, n_rows,
+                                       tu_split=sp_f, luma_lv=ll)
             outs["recon"] = jax.vmap(db)(
-                *outs["recon"], outs["is_intra"], cbf, outs["mv"])
+                *outs["recon"], outs["is_intra"], cbf, outs["mv"],
+                outs["tu_split"], outs["luma_lv"])
         nz = (outs["luma_lv"] != 0).reshape(y.shape[0], -1).sum(1) \
             + (outs["cb_lv"] != 0).reshape(y.shape[0], -1).sum(1) \
             + (outs["cr_lv"] != 0).reshape(y.shape[0], -1).sum(1)
@@ -185,7 +222,7 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
     sp = P("streams", "rows", None)
     band2 = P("streams", "rows")
     out_specs = (
-        dict(is_intra=band2, mode=band2, mv=band2,
+        dict(is_intra=band2, mode=band2, mv=band2, tu_split=band2,
              luma_lv=band2, cb_lv=band2, cr_lv=band2,
              recon=(band2, band2, band2)),
         P("streams"),

@@ -172,6 +172,7 @@ enum CtxOff {
   OFF_INTER_PRED_IDC,
   OFF_SAO_MERGE,
   OFF_SAO_TYPE,
+  OFF_SPLIT_TU,
   OFF_COUNT
 };
 
@@ -464,6 +465,74 @@ void code_sao(Cabac& c, uint8_t* ctx, const int32_t* off,
   }
 }
 
+// transform_tree for a non-skip inter CU with rqt_root_cbf == 1
+// (spec 7.3.8.8; port of rowslice._code_inter_transform_tree)
+void code_inter_transform_tree(Cabac& c, uint8_t* cs,
+                               const int32_t* off, int tu_enabled,
+                               int split, const int16_t* ll,
+                               const int16_t* lb, const int16_t* lr) {
+  if (tu_enabled) {
+    // split_transform_flag, ctx 5 - log2TrafoSize(4) = 1
+    c.encode_bin(cs, off[OFF_SPLIT_TU] + 1, split ? 1 : 0);
+  }
+  auto any16 = [](const int16_t* a, int n, int stride, int by,
+                  int bx) {
+    for (int y = 0; y < n; y++)
+      for (int x = 0; x < n; x++)
+        if (a[(by + y) * stride + bx + x]) return 1;
+    return 0;
+  };
+  if (!split) {
+    int cbf_l = any16(ll, 16, 16, 0, 0);
+    int cbf_b = any16(lb, 8, 8, 0, 0);
+    int cbf_r = any16(lr, 8, 8, 0, 0);
+    c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_b);
+    c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_r);
+    if (cbf_b || cbf_r) c.encode_bin(cs, off[OFF_CBF_LUMA] + 1, cbf_l);
+    if (cbf_l) encode_residual(c, cs, off, ll, 16, 0);
+    if (cbf_b) encode_residual(c, cs, off, lb, 8, 1);
+    if (cbf_r) encode_residual(c, cs, off, lr, 8, 2);
+    return;
+  }
+  int cbf_b0 = any16(lb, 8, 8, 0, 0);
+  int cbf_r0 = any16(lr, 8, 8, 0, 0);
+  c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_b0);
+  c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_r0);
+  // z-order children: TL, TR, BL, BR
+  static const int boff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+  for (int k = 0; k < 4; k++) {
+    int by = boff[k][0], bx = boff[k][1];
+    int cbf_b1 = any16(lb, 4, 8, by * 4, bx * 4);
+    int cbf_r1 = any16(lr, 4, 8, by * 4, bx * 4);
+    if (cbf_b0) c.encode_bin(cs, off[OFF_CBF_CHROMA] + 1, cbf_b1);
+    if (cbf_r0) c.encode_bin(cs, off[OFF_CBF_CHROMA] + 1, cbf_r1);
+    int cbf_l1 = any16(ll, 8, 16, by * 8, bx * 8);
+    c.encode_bin(cs, off[OFF_CBF_LUMA], cbf_l1);  // leaf depth 1
+    // gather the sub-blocks into contiguous buffers for the coder
+    if (cbf_l1) {
+      int16_t sub[64];
+      for (int y = 0; y < 8; y++)
+        for (int x = 0; x < 8; x++)
+          sub[y * 8 + x] = ll[(by * 8 + y) * 16 + bx * 8 + x];
+      encode_residual(c, cs, off, sub, 8, 0);
+    }
+    if (cbf_b0 && cbf_b1) {
+      int16_t sub[16];
+      for (int y = 0; y < 4; y++)
+        for (int x = 0; x < 4; x++)
+          sub[y * 4 + x] = lb[(by * 4 + y) * 8 + bx * 4 + x];
+      encode_residual(c, cs, off, sub, 4, 1);
+    }
+    if (cbf_r0 && cbf_r1) {
+      int16_t sub[16];
+      for (int y = 0; y < 4; y++)
+        for (int x = 0; x < 4; x++)
+          sub[y * 4 + x] = lr[(by * 4 + y) * 8 + bx * 4 + x];
+      encode_residual(c, cs, off, sub, 4, 2);
+    }
+  }
+}
+
 // MPM list (spec 8.4.2; port of codec/h265/encoder.py:_mpm_list)
 void mpm_list(int a, int b, int mpm[3]) {
   if (a == b) {
@@ -519,6 +588,8 @@ void encode_mvd(Cabac& c, uint8_t* ctx, const int32_t* off, int mvd_x,
 struct RowArgs {
   int ncw, idr, is_b;
   int tile_mode, last_row;  // tile substream vs standalone slice
+  int tu_split_enabled;     // SPS max_transform_hierarchy_depth_inter
+  const uint8_t* tu_split;  // (ncw,) per-CTB split flag, or null
   const int32_t* sao;       // (ncw, 3, 6) per-CTB params, or null
   const uint8_t* hdr_bytes;  // this row's packed header bits
   int hdr_bits;
@@ -656,12 +727,9 @@ std::vector<uint8_t> encode_row(const RowArgs& a) {
           c.encode_bin(cs, off[OFF_RQT_ROOT_CBF], any_cbf ? 1 : 0);
         }
         if (any_cbf) {
-          c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_b);
-          c.encode_bin(cs, off[OFF_CBF_CHROMA], cbf_r);
-          if (cbf_b || cbf_r) c.encode_bin(cs, off[OFF_CBF_LUMA] + 1, cbf_l);
-          if (cbf_l) encode_residual(c, cs, off, ll, 16, 0);
-          if (cbf_b) encode_residual(c, cs, off, lb, 8, 1);
-          if (cbf_r) encode_residual(c, cs, off, lr, 8, 2);
+          int split = a.tu_split ? a.tu_split[cx] : 0;
+          code_inter_transform_tree(c, cs, off, a.tu_split_enabled,
+                                    split, ll, lb, lr);
         }
         left_skip = false;
       }
@@ -697,7 +765,9 @@ extern "C" {
 // hdr_bits. Outputs all row RBSPs concatenated into `out` with sizes
 // in row_sizes. Returns total bytes, or -1 on insufficient capacity.
 int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
-                          int tile_mode, const int32_t* sao,
+                          int tile_mode, int tu_split_enabled,
+                          const uint8_t* tu_split,
+                          const int32_t* sao,
                           const uint8_t* hdr_bytes,
                           const int32_t* hdr_bits, int hdr_stride,
                           const uint8_t* ctx_init, int n_ctx,
@@ -717,6 +787,9 @@ int64_t hevc_entropy_rows(int nch, int ncw, int idr, int is_b,
       a.is_b = is_b;
       a.tile_mode = tile_mode;
       a.last_row = cy == nch - 1;
+      a.tu_split_enabled = tu_split_enabled;
+      a.tu_split = tu_split
+          ? tu_split + static_cast<int64_t>(cy) * ncw : nullptr;
       a.sao = sao ? sao + static_cast<int64_t>(cy) * ncw * 18 : nullptr;
       a.hdr_bytes = hdr_bytes + static_cast<int64_t>(cy) * hdr_stride;
       a.hdr_bits = hdr_bits[cy];

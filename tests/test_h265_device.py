@@ -350,3 +350,55 @@ class TestDeviceEncoderConformance:
             dd = d.encode_frame(*f).data
             rr, _ = r.encode_frame(*f)
             assert dd == rr
+
+
+class TestTuSplitDevice:
+    """Inter TU split on the device path: per-frame and fused-run
+    dispatches must equal the numpy row encoder byte for byte (the
+    oracle conformance of that stream is pinned in
+    tests/test_h265_rows.py::TestInterTuSplit)."""
+
+    @staticmethod
+    def _clip(n, w=96, h=64, seed=7):
+        from tests.test_h265_rows import _split_heavy
+        return _split_heavy(n, w, h, seed)
+
+    def test_per_frame_matches_row_encoder(self):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
+        frames = self._clip(4)
+        d = H265DeviceEncoder(96, 64, qp=30, gop=50, tu_split=True)
+        r = H265RowEncoder(96, 64, qp=30, gop=50, tu_split=True)
+        a = d.headers() + b"".join(
+            d.encode_frame(*f).data for f in frames)
+        b = r.headers() + b"".join(
+            r.encode_frame(*f)[0] for f in frames)
+        assert a == b
+
+    def test_run_dispatch_matches_per_frame(self):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = self._clip(5, seed=23)
+        enc = H265DeviceEncoder(96, 64, qp=32, gop=50, tu_split=True)
+        pend = enc.encode_run_async(frames)
+        a = enc.headers() + b"".join(p.result().data for p in pend)
+        enc2 = H265DeviceEncoder(96, 64, qp=32, gop=50, tu_split=True)
+        b = enc2.headers() + b"".join(
+            enc2.encode_frame(*f).data for f in frames)
+        assert a == b
+
+    def test_b_pairs_match_push_path(self):
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        frames = self._clip(6, seed=29)
+        enc = H265DeviceEncoder(96, 64, qp=31, gop=50, bframes=1,
+                                tu_split=True)
+        outs = enc.encode_run_b_async(frames)
+        a = enc.headers() + b"".join(
+            t[0].result().data for t in outs)
+        enc2 = H265DeviceEncoder(96, 64, qp=31, gop=50, bframes=1,
+                                 tu_split=True)
+        coded = []
+        for f in frames:
+            coded += enc2.push_frame(*f)
+        coded += enc2.flush()
+        b = enc2.headers() + b"".join(t[0] for t in coded)
+        assert a == b

@@ -1,7 +1,7 @@
 """Randomized HEVC conformance fuzz: random configs x random content
 through the full encoder and the libavcodec oracle. Catches parameter
 interactions the targeted tests miss (size x GOP x QP x B x SAO x
-framing)."""
+framing x TU split)."""
 
 import numpy as np
 import pytest
@@ -37,11 +37,12 @@ def test_random_config_roundtrip(seed, tmp_path):
     bframes = int(rng.integers(0, 2))
     sao = bool(rng.integers(0, 2))
     tiles = bool(rng.integers(0, 2))
+    tu_split = bool(rng.integers(0, 2))
     n = int(rng.integers(4, 9))
     frames = _clip(rng, w, h, n)
 
     enc = H265RowEncoder(w, h, qp=qp, gop=gop, bframes=bframes,
-                         sao=sao, tile_rows=tiles)
+                         sao=sao, tile_rows=tiles, tu_split=tu_split)
     out = enc.headers()
     coded = []
     for i, f in enumerate(frames):
@@ -73,4 +74,5 @@ def test_random_config_roundtrip(seed, tmp_path):
     for i, d in enumerate(decoded):
         for name, dp, rp in zip("yuv", d, disp[i][3]):
             assert np.array_equal(dp, rp), \
-                (seed, w, h, qp, gop, bframes, sao, tiles, i, name)
+                (seed, w, h, qp, gop, bframes, sao, tiles, tu_split,
+                 i, name)

@@ -446,3 +446,93 @@ class TestSao:
         r = H265RowEncoder(176, 144, qp=34, gop=3, sao=True)
         b = b"".join(r.encode_frame(*f)[0] for f in frames)
         assert a == b
+
+
+def _split_heavy(n, w=96, h=64, seed=7):
+    """Panning clip where one 8x8 quadrant per CU is fresh noise —
+    residual energy concentrates in one quadrant, so the RD decision
+    picks the quadrant TU split for most CUs."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 32, w + 32), np.uint8)
+    frames = []
+    for i in range(n):
+        y = np.asarray(base[i:i + h, 2 * i:2 * i + w]).copy()
+        for cy in range(0, h, 16):
+            for cx in range(0, w, 16):
+                y[cy:cy + 8, cx:cx + 8] = rng.integers(0, 255, (8, 8))
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (y[1::2, 1::2] // 3 + 80).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+class TestInterTuSplit:
+    """Inter TU split (16 luma CU residual as 4x8 + 4x4 chroma,
+    16*SSD + lambda*bits decision): oracle conformance including the
+    interior TU-edge deblocking, native C++ == Python bytes, and the
+    RD win on quadrant-concentrated residuals."""
+
+    def _encode(self, frames, w, h, qp, native, bframes=0,
+                tiles=False):
+        enc = H265RowEncoder(w, h, qp=qp, gop=50, tu_split=True,
+                             bframes=bframes, tile_rows=tiles,
+                             native_entropy=native)
+        chunks, recons = [enc.headers()], []
+        outs = []
+        for f in frames:
+            outs += enc.push_frame(*f)
+        outs += enc.flush()
+        for data, poc, kind, rec in outs:
+            chunks.append(data)
+            recons.append((poc, rec))
+        return b"".join(chunks), recons
+
+    def test_oracle_and_native_p(self, tmp_path):
+        w, h, qp = 96, 64, 30
+        frames = _split_heavy(5, w, h)
+        stream, recons = self._encode(frames, w, h, qp, native=False)
+        nstream, _ = self._encode(frames, w, h, qp, native=True)
+        assert stream == nstream, "C++ entropy != Python with tu_split"
+        path = tmp_path / "tusplit.265"
+        path.write_bytes(stream)
+        decoded = decode(path, w, h, len(frames))
+        for i, (d, (_, r)) in enumerate(zip(decoded, recons)):
+            for name, dp, rp in zip("yuv", d, r):
+                assert np.array_equal(dp, rp), f"f{i} {name}"
+
+    def test_oracle_b_and_tiles(self, tmp_path):
+        w, h, qp = 96, 64, 33
+        frames = _split_heavy(6, w, h, seed=13)
+        stream, recons = self._encode(frames, w, h, qp, native=False,
+                                      bframes=1, tiles=True)
+        nstream, _ = self._encode(frames, w, h, qp, native=True,
+                                  bframes=1, tiles=True)
+        assert stream == nstream
+        path = tmp_path / "tusplit_b.265"
+        path.write_bytes(stream)
+        decoded = decode(path, w, h, len(frames))
+        by_poc = sorted(recons, key=lambda t: t[0])
+        for i, (d, (_, r)) in enumerate(zip(decoded, by_poc)):
+            for name, dp, rp in zip("yuv", d, r):
+                assert np.array_equal(dp, rp), f"poc {i} {name}"
+
+    def test_split_chosen_and_rd_improves(self, tmp_path):
+        """On quadrant-concentrated residuals the split must actually
+        engage, and coding with it must not be worse in rate at equal
+        or better distortion proxy (smaller stream, PSNR within
+        noise)."""
+        w, h, qp = 96, 64, 32
+        frames = _split_heavy(4, w, h, seed=21)
+        arrays, _ = compute_p_rows(
+            *[p.astype(np.int32) for p in frames[1]],
+            tuple(p.astype(np.int32) for p in
+                  (frames[0][0], frames[0][1], frames[0][2])),
+            qp, 31, tu_split=True)
+        assert arrays["tu_split"].sum() >= arrays["tu_split"].size // 2
+
+        on, _ = self._encode(frames, w, h, qp, native=True)
+        enc = H265RowEncoder(w, h, qp=qp, gop=50, tu_split=False)
+        off = enc.headers()
+        for f in frames:
+            off += enc.encode_frame(*f)[0]
+        assert len(on) < len(off)
