@@ -56,16 +56,23 @@ def ours_h264(frames, w, h, qp, gop):
     return bs
 
 
-def ours_hevc(frames, w, h, qp, gop):
+def ours_hevc(frames, w, h, qp, gop, **opts):
     """Full HEVC path: row-slice I+P GOPs, quarter-pel motion,
     deblocking, native entropy (the production device pipeline's
     executable spec)."""
     from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
-    enc = H265RowEncoder(w, h, qp=qp, gop=gop)
+    enc = H265RowEncoder(w, h, qp=qp, gop=gop, **opts)
     bs = enc.headers()
-    for f in frames:
-        data, _ = enc.encode_frame(*f)
-        bs += data
+    if opts.get("bframes"):
+        for f in frames:
+            for data, _, _, _ in enc.push_frame(*f):
+                bs += data
+        for data, _, _, _ in enc.flush():
+            bs += data
+    else:
+        for f in frames:
+            data, _ = enc.encode_frame(*f)
+            bs += data
     return bs
 
 
@@ -139,6 +146,12 @@ def main():
     ap.add_argument("--gop", type=int, default=30)
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--hevc", action="store_true")
+    ap.add_argument("--no-h264", action="store_true",
+                    help="skip the H.264 sweep (x264 anchored at the "
+                    "HEVC rates instead)")
+    ap.add_argument("--tu-split", action="store_true")
+    ap.add_argument("--bframes", type=int, default=0)
+    ap.add_argument("--sao", action="store_true")
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     seconds = args.frames / args.fps
@@ -155,38 +168,50 @@ def main():
 
     print(f"clip: {w}x{h}p{args.fps}, {args.frames} frames, "
           f"gop {args.gop}")
-    ours_curve = []
-    for qp in (22, 27, 32, 37):
-        bs = ours_h264(frames, w, h, qp, args.gop)
-        kbps, ps = measure(f"ours_q{qp}", bs, frames, w, h, tmp, seconds)
-        ours_curve.append((kbps, ps))
-        print(f"  ours-h264 qp={qp}: {kbps:8.1f} kbps  {ps:5.2f} dB")
+    hevc_opts = dict(tu_split=args.tu_split, bframes=args.bframes,
+                     sao=args.sao)
+    anchor_rates = None
+    if not args.no_h264:
+        ours_curve = []
+        for qp in (22, 27, 32, 37):
+            bs = ours_h264(frames, w, h, qp, args.gop)
+            kbps, ps = measure(f"ours_q{qp}", bs, frames, w, h, tmp,
+                               seconds)
+            ours_curve.append((kbps, ps))
+            print(f"  ours-h264 qp={qp}: {kbps:8.1f} kbps  {ps:5.2f} dB")
+        anchor_rates = [k for k, _ in ours_curve]
+
+    hevc_curve = []
+    if args.hevc:
+        for qp in (22, 27, 32, 37):
+            bs = ours_hevc(frames, w, h, qp, args.gop, **hevc_opts)
+            kbps, ps = measure(f"hevc_q{qp}", bs, frames, w, h, tmp,
+                               seconds)
+            hevc_curve.append((kbps, ps))
+            print(f"  ours-hevc qp={qp}: {kbps:8.1f} kbps  "
+                  f"{ps:5.2f} dB")
+        if anchor_rates is None:
+            anchor_rates = [k for k, _ in hevc_curve]
 
     x264_curve = []
-    for kbps, _ in ours_curve:
+    for kbps in anchor_rates:
         out = tmp / f"x264_{int(kbps)}.264"
         x264(yuv, w, h, args.fps, out, "medium", str(int(kbps * 1000)))
         k2, ps = measure_x264(out, frames, w, h, seconds)
         x264_curve.append((k2, ps))
         print(f"  x264-medium @{kbps:.0f}k: {k2:8.1f} kbps  {ps:5.2f} dB")
 
-    deltas = []
-    for kbps, ps in ours_curve:
-        ref = interp_psnr(x264_curve, kbps)
-        deltas.append(ps - ref)
-        print(f"  at {kbps:8.1f} kbps: ours {ps:5.2f} vs x264 {ref:5.2f} "
-              f"-> delta {ps - ref:+.2f} dB")
-    print(f"mean PSNR delta vs x264-medium: {np.mean(deltas):+.2f} dB")
+    if not args.no_h264:
+        deltas = []
+        for kbps, ps in ours_curve:
+            ref = interp_psnr(x264_curve, kbps)
+            deltas.append(ps - ref)
+            print(f"  at {kbps:8.1f} kbps: ours {ps:5.2f} vs x264 "
+                  f"{ref:5.2f} -> delta {ps - ref:+.2f} dB")
+        print(f"mean PSNR delta vs x264-medium: "
+              f"{np.mean(deltas):+.2f} dB")
 
     if args.hevc:
-        hevc_curve = []
-        for qp in (22, 27, 32, 37):
-            bs = ours_hevc(frames, w, h, qp, args.gop)
-            kbps, ps = measure(f"hevc_q{qp}", bs, frames, w, h, tmp,
-                               seconds)
-            hevc_curve.append((kbps, ps))
-            print(f"  ours-hevc qp={qp}: {kbps:8.1f} kbps  "
-                  f"{ps:5.2f} dB")
         deltas = []
         for kbps, ps in hevc_curve:
             ref = interp_psnr(x264_curve, kbps)
