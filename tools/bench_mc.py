@@ -66,9 +66,13 @@ def main():
 
     def windows_vmap(plane, mv):
         def one(i, j):
+            # start at PLANE_PAD (not PLANE_PAD - 4): ref_pad carries
+            # PLANE_PAD + 4 pad, so this puts integer sample (y, x) at
+            # win[y + 4, x + 4] and keeps every start >= 1 (no clamp /
+            # negative-wrap divergence vs variant C)
             return jax.lax.dynamic_slice(
-                plane, (i * CTB + mv[i, j, 0] + PLANE_PAD - 4,
-                        j * CTB + mv[i, j, 1] + PLANE_PAD - 4),
+                plane, (i * CTB + mv[i, j, 0] + PLANE_PAD,
+                        j * CTB + mv[i, j, 1] + PLANE_PAD),
                 (WIN, WIN))
         return jax.vmap(lambda i: jax.vmap(lambda j: one(i, j))(
             jnp.arange(NCW)))(jnp.arange(NCH))
@@ -79,10 +83,10 @@ def main():
     # C: whole-frame gather of the same windows (baseline compare)
     def windows_gather(plane, mv):
         yy = (jnp.arange(NCH)[:, None, None, None] * CTB
-              + mv[:, :, 0][..., None, None] + PLANE_PAD - 4
+              + mv[:, :, 0][..., None, None] + PLANE_PAD
               + jnp.arange(WIN)[None, None, :, None])
         xx = (jnp.arange(NCW)[None, :, None, None] * CTB
-              + mv[:, :, 1][..., None, None] + PLANE_PAD - 4
+              + mv[:, :, 1][..., None, None] + PLANE_PAD
               + jnp.arange(WIN)[None, None, None, :])
         return plane[yy, xx]
 
@@ -93,7 +97,10 @@ def main():
     def satds(c, p):
         tot = jnp.zeros((NCH, NCW), jnp.int32)
         for k in range(18):
-            tot += _satd8_frame(c - p[k % 16, :H, :W])
+            # frame-aligned region of the PLANE_PAD-padded plane
+            tot += _satd8_frame(
+                c - p[k % 16, PLANE_PAD:PLANE_PAD + H,
+                      PLANE_PAD:PLANE_PAD + W])
         return tot
 
     f_d = jax.jit(satds)
@@ -112,7 +119,10 @@ def main():
             tv = [int(t) for t in LUMA_FILTER[fy]]
             th = [int(t) for t in LUMA_FILTER[fx]]
             if fx == 0:
-                tmp = w32[..., :, :] * 64
+                # crop columns symmetrically with the fx != 0 branch's
+                # tap window so all candidates share the same
+                # horizontal alignment (tmp[p] = integer offset p - 1)
+                tmp = w32[..., :, 3:3 + 17] * 64
             else:
                 tmp = sum(th[k] * w32[..., :, k:k + 17]
                           for k in range(8))
