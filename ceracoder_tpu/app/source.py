@@ -4,7 +4,6 @@ file/procedural source abstraction suited to a TPU host."""
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator, Optional, Protocol

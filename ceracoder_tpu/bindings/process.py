@@ -7,7 +7,6 @@ killall/pgrep: we track PIDs directly.
 
 from __future__ import annotations
 
-import os
 import shutil
 import signal
 import subprocess

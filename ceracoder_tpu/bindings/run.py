@@ -4,7 +4,7 @@ read + merge an existing config file, validate, and produce the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 

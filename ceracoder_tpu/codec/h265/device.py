@@ -422,12 +422,7 @@ class H265DeviceEncoder:
         fused dispatches (one lax.scan over (B, P) pairs per GOP
         segment; IDRs and odd tails go through single dispatches).
         Returns (PendingFrame, poc, kind) tuples in coding order."""
-        import jax.numpy as jnp
-
-        from ceracoder_tpu.ops.h265 import (
-            LEVEL_CHUNK,
-            encode_run_pairs,
-        )
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
 
         assert self.bframes, "encode_run_b_async requires bframes=1"
         nf = len(frames) if frames is not None else len(indices)

@@ -132,7 +132,6 @@ class H265IntraEncoder:
         from ceracoder_tpu.codec.h265 import intra as I
         from ceracoder_tpu.codec.h265.ctx_tables import (
             build_i_slice_contexts)
-        from ceracoder_tpu.codec.h265.residual import encode_residual
 
         p = self.params
         ctb = p.ctb

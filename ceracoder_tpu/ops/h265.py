@@ -675,11 +675,14 @@ def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
     bs_v, bs_h = _edge_bs_dev(is_intra, cbf_l, mv, mv1)
 
     def seg_and_int(ii, mvx, m1x, nnz8x, splitx, n):
-        segs = _seg_bs_dev(
-            ii[:, :-1], ii[:, 1:], mvx[:, :-1], mvx[:, 1:],
-            None if m1x is None else m1x[:, :-1],
-            None if m1x is None else m1x[:, 1:],
-            nnz8x[:, 1:-1:2] | nnz8x[:, 2::2]) if n > 1 else             jnp.zeros((2 * ii.shape[0], 0), jnp.int32)
+        if n > 1:
+            segs = _seg_bs_dev(
+                ii[:, :-1], ii[:, 1:], mvx[:, :-1], mvx[:, 1:],
+                None if m1x is None else m1x[:, :-1],
+                None if m1x is None else m1x[:, 1:],
+                nnz8x[:, 1:-1:2] | nnz8x[:, 2::2])
+        else:
+            segs = jnp.zeros((2 * ii.shape[0], 0), jnp.int32)
         nz_int = nnz8x[:, ::2] | nnz8x[:, 1::2]
         sp2 = jnp.repeat(splitx, 2, axis=0)
         int_bs = jnp.where(sp2 & nz_int, 1, 0).astype(jnp.int32)

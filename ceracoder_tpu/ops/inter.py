@@ -17,8 +17,6 @@ v1 design choices, each spec-conformant:
 
 from __future__ import annotations
 
-import functools
-
 from ceracoder_tpu.utils.jaxenv import setup_jax
 
 setup_jax()

@@ -16,8 +16,6 @@ Horizontal and DC.
 
 from __future__ import annotations
 
-import functools
-
 from ceracoder_tpu.utils.jaxenv import setup_jax
 
 setup_jax()

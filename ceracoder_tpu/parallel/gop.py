@@ -16,8 +16,6 @@ latency-oriented alternatives; all three compose.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
 
 

@@ -17,9 +17,8 @@ The framework's parallelism axes (SURVEY.md §2.7):
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ceracoder_tpu.ops.intra import encode_frame_i16_rows
 

@@ -11,6 +11,10 @@ for a in "$@"; do
     [ -e "${a%%::*}" ] && has_path=1
 done
 [ "$has_path" -eq 0 ] && set -- "$@" tests/
+
+# quality gate (the reference's `make lint` / clang-tidy analog):
+# ast-based Python checks + g++ -Wall -Wextra -Werror on native/
+python tools/lint.py || exit 1
 # -n 4 --dist loadfile: per-file worker processes. Besides the 3-4x
 # wall-clock win, process sharding sidesteps an XLA:CPU SIGABRT seen
 # when one process accumulates the whole suite's compiled executables

@@ -7,7 +7,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from ceracoder_tpu.app.cli import CliError, parse_args
+from ceracoder_tpu.app.cli import parse_args
 from ceracoder_tpu.app.jobspec import open_source, parse_jobspec
 from ceracoder_tpu.app.main import CeracoderApp
 from ceracoder_tpu.app.source import TestPatternSource, Y4MFileSource, pad_to_mb
@@ -152,12 +152,10 @@ def test_scene_cut_forces_idr(tmp_path):
     """A hard cut mid-GOP must produce a fresh IDR (adaptive GOP)."""
     import numpy as np
 
-    from ceracoder_tpu.app.jobspec import JobSpec
     from ceracoder_tpu.app.main import CeracoderApp
     from ceracoder_tpu.app.cli import CliOptions
 
     # y4m with a hard cut at frame 3
-    import struct
     w, h, n = 64, 48, 6
     rng = np.random.default_rng(2)
     a = rng.integers(0, 100, (h, w)).astype(np.uint8)

@@ -16,7 +16,6 @@ from ceracoder_tpu.bindings import (
     is_running,
     send_hup,
     send_term,
-    spawn,
     write_config,
 )
 from ceracoder_tpu.bindings.cli import RunOptions

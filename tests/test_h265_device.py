@@ -4,7 +4,6 @@ native entropy) must stream bit-exact through the libavcodec oracle.
 """
 
 import numpy as np
-import pytest
 
 from ceracoder_tpu.codec.h265.rowslice import (
     compute_intra_rows,
@@ -36,10 +35,7 @@ class TestDeviceOpsMatchReference:
                 assert np.array_equal(rec[i], drec[i]), f"qp{qp} rec{i}"
 
     def test_p_arrays_motion_and_intra_fallback(self):
-        from ceracoder_tpu.ops.h265 import (
-            encode_frame_i_rows,
-            encode_frame_p_rows,
-        )
+        from ceracoder_tpu.ops.h265 import encode_frame_p_rows
         frames = _panning(3)
         _, rec = compute_intra_rows(*frames[0], 30, 29)
         rec8 = tuple(r.astype(np.uint8) for r in rec)

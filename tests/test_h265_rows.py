@@ -366,11 +366,6 @@ class TestSao:
         for i, (d, r) in enumerate(zip(decoded, recs)):
             for dp, rp in zip(d, r):
                 assert np.array_equal(dp, rp), i
-        # the estimator must actually engage somewhere on this content
-        from ceracoder_tpu.codec.h265.deblock import deblock_frame
-        from ceracoder_tpu.codec.h265.rowslice import (
-            compute_intra_rows)
-        from ceracoder_tpu.codec.h265.sao import sao_estimate
         # estimator engagement: a systematic band error must clear
         # the lambda gate and be captured by band offsets
         from ceracoder_tpu.codec.h265.sao import sao_estimate

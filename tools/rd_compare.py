@@ -27,7 +27,6 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-from ceracoder_tpu.app.source import TestPatternSource  # noqa: E402
 
 TOOLS = ROOT / "tools"
 
