@@ -22,40 +22,72 @@ import numpy as np
 
 from ceracoder_tpu.codec.h265.tables import CHROMA_FILTER
 
-SEARCH_RANGE = 8          # full-pel search range around (0, 0)
+SEARCH_RANGE = 8          # full-pel reach around (0, 0)
+COARSE_RANGE = 4          # half-res exhaustive range (covers +-8)
 
 
 # ---------------------------------------------------------------------------
-# Motion search
+# Motion search (hierarchical; twin of ops/h265._motion_luma_dev's
+# full-pel stages — array equality enforced by tests/test_h265_device)
 # ---------------------------------------------------------------------------
 
-def motion_search(cur_y: np.ndarray, ref_y: np.ndarray,
-                  rng: int = SEARCH_RANGE) -> np.ndarray:
-    """Full-pel exhaustive SAD search per 16x16 CU.
+def down2(x: np.ndarray) -> np.ndarray:
+    """Half-resolution image: 2x2 mean with +2 >> 2 rounding."""
+    x = x.astype(np.int32)
+    return (x[0::2, 0::2] + x[0::2, 1::2]
+            + x[1::2, 0::2] + x[1::2, 1::2] + 2) >> 2
 
-    cur_y/ref_y: (H, W) CTB-aligned int arrays. Returns (nch, ncw, 2)
-    int32 MVs in full-pel units (dy, dx), |mv| <= rng. Vectorized over
-    all CUs: one SAD map per candidate displacement.
+
+def motion_search(cur_y: np.ndarray, ref_y: np.ndarray) -> np.ndarray:
+    """Hierarchical full-pel SAD search per 16x16 CU: exhaustive +-4
+    at half resolution (center-outward tie order), doubled and clipped
+    to +-7, then a +-1 full-pel refine in SUBPEL_OFFS order (earlier
+    candidate wins ties). Returns (nch, ncw, 2) int32 full-pel MVs
+    with |mv| <= 8.
     """
     h, w = cur_y.shape
     nch, ncw = h // 16, w // 16
-    ref_pad = np.pad(ref_y, rng, mode="edge").astype(np.int32)
     cur = cur_y.astype(np.int32)
 
+    # coarse: half-res exhaustive
+    cur_h = down2(cur)
+    ref_h_pad = down2(np.pad(ref_y, 8, mode="edge").astype(np.int32))
+    rng = COARSE_RANGE
     best_sad = np.full((nch, ncw), 1 << 30, np.int64)
     best_mv = np.zeros((nch, ncw, 2), np.int32)
-    # center-outward order so ties prefer the shorter MV
     offs = sorted(((dy, dx) for dy in range(-rng, rng + 1)
                    for dx in range(-rng, rng + 1)),
                   key=lambda o: (abs(o[0]) + abs(o[1]), abs(o[0])))
+    hh, hw = cur_h.shape
     for dy, dx in offs:
-        shifted = ref_pad[rng + dy:rng + dy + h, rng + dx:rng + dx + w]
-        sad = (np.abs(cur - shifted)
-               .reshape(nch, 16, ncw, 16).sum((1, 3), dtype=np.int64))
+        shifted = ref_h_pad[rng + dy:rng + dy + hh,
+                            rng + dx:rng + dx + hw]
+        sad = (np.abs(cur_h - shifted)
+               .reshape(nch, 8, ncw, 8).sum((1, 3), dtype=np.int64))
         better = sad < best_sad
         best_sad = np.where(better, sad, best_sad)
         best_mv[better] = (dy, dx)
-    return best_mv
+    mv0 = np.clip(2 * best_mv, -7, 7)
+
+    # +-1 full-pel refine at full resolution
+    pad = SEARCH_RANGE
+    ref_pad = np.pad(ref_y, pad, mode="edge").astype(np.int32)
+    curb = cur.reshape(nch, 16, ncw, 16).transpose(0, 2, 1, 3)
+    best_sad = np.full((nch, ncw), 1 << 30, np.int64)
+    best_d = np.zeros((nch, ncw, 2), np.int32)
+    for dy, dx in SUBPEL_OFFS:
+        sad = np.zeros((nch, ncw), np.int64)
+        for cy in range(nch):
+            for cx in range(ncw):
+                y0 = cy * 16 + int(mv0[cy, cx, 0]) + dy + pad
+                x0 = cx * 16 + int(mv0[cy, cx, 1]) + dx + pad
+                blk = ref_pad[y0:y0 + 16, x0:x0 + 16]
+                sad[cy, cx] = np.abs(curb[cy, cx]
+                                     - blk).sum(dtype=np.int64)
+        better = sad < best_sad
+        best_sad = np.where(better, sad, best_sad)
+        best_d[better] = (dy, dx)
+    return mv0 + best_d
 
 
 # ---------------------------------------------------------------------------

@@ -320,6 +320,337 @@ _SUB_DY = np.array([0, 0, 0, -1, 1, -1, -1, 1, 1], np.int32)
 _SUB_DX = np.array([0, -1, 1, 0, 0, -1, 1, -1, 1], np.int32)
 
 
+# ---------------------------------------------------------------------------
+# gather-free motion pipeline
+#
+# TPU per-element gathers run at ~50M elem/s (measured: one whole-
+# frame MC gather = 37 ms at 1080p), so the production P/B path avoids
+# them entirely:
+#   1. hierarchical full-pel search: exhaustive +-4 SAD at half
+#      resolution (static whole-frame shifts), then +-1 full-pel SAD
+#      refine per CU from a window canvas;
+#   2. window canvas: E[cu, wy, wx] = ref[cu*16 + mv0 + w - 5] built
+#      with two static strided re-tilings plus masked shift-selects
+#      (pure dense VPU work, no gather);
+#   3. sub-pel: all 16 qpel phases computed locally on each CU's
+#      24x24 window (8-tap filters as static slices), SATD refinement
+#      and the final MC are slices/selects of those phase tensors.
+# Numpy twin: codec/h265/inter.py (motion_search / refine_subpel) —
+# array equality is enforced by tests/test_h265_device.py.
+# ---------------------------------------------------------------------------
+
+COARSE_RANGE = 4                 # half-res exhaustive range (full +-8)
+MV_FULL_MAX = 8                  # |full-pel MV| bound after refine
+_C_OFFS = sorted(((dy, dx)
+                  for dy in range(-COARSE_RANGE, COARSE_RANGE + 1)
+                  for dx in range(-COARSE_RANGE, COARSE_RANGE + 1)),
+                 key=lambda o: (abs(o[0]) + abs(o[1]), abs(o[0])))
+_C_DY = np.array([o[0] for o in _C_OFFS], np.int32)
+_C_DX = np.array([o[1] for o in _C_OFFS], np.int32)
+
+WIN_L = 26                       # luma window (covers +-1 refine+qpel)
+WIN_C = 11                       # chroma window (8 + 4-tap reach)
+
+
+def _down2_dev(x):
+    """Half-resolution image: 2x2 mean with +2 >> 2 rounding.
+
+    Reshape-sum form: stride-2 slicing on the minor (lane) dim costs
+    ~26 ms/frame on TPU; the reshape lowers to a fast relayout."""
+    h, w = x.shape
+    return (x.reshape(h // 2, 2, w // 2, 2).sum((1, 3)) + 2) >> 2
+
+
+def _blocks(x, n: int):
+    """(H, W) -> (nch, ncw, n, n) row-major tiles."""
+    h, w = x.shape
+    return x.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3)
+
+
+def _unblocks(b):
+    """(nch, ncw, n, n) -> (H, W)."""
+    nch, ncw, n, _ = b.shape
+    return b.transpose(0, 2, 1, 3).reshape(nch * n, ncw * n)
+
+
+def _coarse_search_dev(cur_h, ref_h_pad):
+    """Exhaustive +-4 SAD over 8x8 blocks at half resolution; packed
+    (sad << 7 | rank) keys reproduce the center-outward tie order of
+    inter.motion_search's coarse stage."""
+    h, w = cur_h.shape
+    nbh, nbw = h // 8, w // 8
+    pad = COARSE_RANGE
+    n_off = len(_C_OFFS)                               # 81 = 3 * 27
+
+    def one(off_idx, dy, dx):
+        sh = jax.lax.dynamic_slice(ref_h_pad, (dy + pad, dx + pad),
+                                   (h, w))
+        sad = jnp.abs(cur_h - sh).reshape(nbh, 8, nbw, 8).sum((1, 3))
+        return (sad << 7) | off_idx                    # sad <= 16320
+
+    chunk = 27
+    dys = jnp.asarray(_C_DY).reshape(n_off // chunk, chunk)
+    dxs = jnp.asarray(_C_DX).reshape(n_off // chunk, chunk)
+    idxs = jnp.arange(n_off, dtype=jnp.int32).reshape(-1, chunk)
+
+    def step(best, xs):
+        i, dy, dx = xs
+        keys = jax.vmap(one)(i, dy, dx)
+        return jnp.minimum(best, keys.min(0)), None
+
+    best = jnp.full((nbh, nbw), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best, _ = jax.lax.scan(step, best, (idxs, dys, dxs))
+    rank = best & 127
+    dy = jnp.zeros_like(rank)
+    dx = jnp.zeros_like(rank)
+    for k, (ody, odx) in enumerate(_C_OFFS):           # no table gather
+        sel = rank == k
+        if ody:
+            dy = jnp.where(sel, ody, dy)
+        if odx:
+            dx = jnp.where(sel, odx, dx)
+    return jnp.stack([dy, dx], axis=-1)                # (nbh, nbw, 2)
+
+
+def _window_canvas_dev(ref_pad, off_yx, blk: int, win: int, orig: int,
+                       lo: int, hi: int, pad: int):
+    """Per-CU windows without gathers:
+
+      E[cy, cx, wy, wx] =
+        ref_pad[cy*blk + off_y + wy + orig + pad,
+                cx*blk + off_x + wx + orig + pad]
+
+    off_yx (nch, ncw, 2) int32 with components in [lo, hi]. Built as
+    two static strided re-tilings (x then y) followed by one masked
+    shift-select per axis (S = hi-lo+1 dense select terms each)."""
+    nch, ncw = off_yx.shape[:2]
+    s_count = hi - lo + 1
+    t_len = s_count - 1 + win
+    a0 = lo + orig + pad
+
+    # x re-tile: F[y, cx, t] = ref_pad[y, cx*blk + t + a0]
+    f = jnp.stack([ref_pad[:, a0 + t: a0 + t + ncw * blk: blk]
+                   for t in range(t_len)], axis=-1)    # (Hp, ncw, T)
+    # y re-tile: D[cy, t, cx, t2] = F[cy*blk + t + a0, cx, t2]
+    d = jnp.stack([f[a0 + t: a0 + t + nch * blk: blk]
+                   for t in range(t_len)], axis=1)     # (nch,T,ncw,T)
+
+    sy = off_yx[..., 0] - lo                           # (nch, ncw)
+    sx = off_yx[..., 1] - lo
+    a = jnp.zeros((nch, win, ncw, t_len), d.dtype)
+    for s in range(s_count):
+        a = a + jnp.where((sy == s)[:, None, :, None],
+                          d[:, s:s + win], 0)
+    e = jnp.zeros((nch, win, ncw, win), d.dtype)
+    for s in range(s_count):
+        e = e + jnp.where((sx == s)[:, None, :, None],
+                          a[..., s:s + win], 0)
+    return e.transpose(0, 2, 1, 3)                     # (nch,ncw,W,W)
+
+
+def _satd8_blocks_bf(d):
+    """8x8 Hadamard SATD per 16x16 block via add/sub butterflies
+    (value-equal to _satd8_blocks; avoids tiny 8x8 matmuls).
+    d: (..., 16, 16) int32 -> (...) int32."""
+    lead = d.shape[:-2]
+    x = d.reshape(*lead, 2, 8, 2, 8)
+
+    def stage(t, axis, half):
+        n = t.shape[axis]
+        sl = [slice(None)] * t.ndim
+        outs = []
+        for s in range(0, n, 2 * half):
+            sl[axis] = slice(s, s + half)
+            a = t[tuple(sl)]
+            sl[axis] = slice(s + half, s + 2 * half)
+            b = t[tuple(sl)]
+            outs.append(a + b)
+            outs.append(a - b)
+        return jnp.concatenate(outs, axis=axis)
+
+    for half in (4, 2, 1):
+        x = stage(x, -3, half)
+    for half in (4, 2, 1):
+        x = stage(x, -1, half)
+    s8 = jnp.abs(x).sum((-1, -3)) >> 2                 # (..., 2, 2)
+    return s8.sum((-1, -2))
+
+
+def _fullpel_refine_dev(cur_b, e):
+    """+-1 full-pel SAD refine from the window canvas. cur_b
+    (nch, ncw, 16, 16); e (nch, ncw, 26, 26) with the full-pel block
+    at rows/cols [5:21]. Tie order = SUBPEL_OFFS (earlier wins).
+    Returns (d_yx, w24): the chosen offset and the 24x24 window
+    re-based at it (origin -4 relative to the refined MV)."""
+    best = jnp.full(cur_b.shape[:2], jnp.iinfo(jnp.int32).max,
+                    jnp.int32)
+    for k in range(9):
+        dy, dx = int(_SUB_DY[k]), int(_SUB_DX[k])
+        blk = e[:, :, 5 + dy:21 + dy, 5 + dx:21 + dx]
+        sad = jnp.abs(cur_b - blk).sum((-1, -2))
+        best = jnp.minimum(best, (sad << 4) | k)
+    rank = best & 15
+    dy = jnp.zeros_like(rank)
+    dx = jnp.zeros_like(rank)
+    w24 = jnp.zeros(e.shape[:2] + (24, 24), e.dtype)
+    for k in range(9):
+        sel = rank == k
+        ody, odx = int(_SUB_DY[k]), int(_SUB_DX[k])
+        if ody:
+            dy = jnp.where(sel, ody, dy)
+        if odx:
+            dx = jnp.where(sel, odx, dx)
+        w24 = w24 + jnp.where(
+            sel[..., None, None],
+            e[:, :, 1 + ody:25 + ody, 1 + odx:25 + odx], 0)
+    return jnp.stack([dy, dx], axis=-1), w24
+
+
+def _window_phases14(w24):
+    """All 16 qpel phases of each 24x24 window at 14-bit intermediate
+    precision (spec 8.5.4.2.2.1; acc >> 6 like luma_qpel_planes14).
+    Phase index c of the 17-wide output corresponds to integer offset
+    c - 1 relative to the window's full-pel MV.
+    w24 (nch, ncw, 24, 24) int32 -> (nch, ncw, 16, 17, 17) int32."""
+    from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
+
+    tmps = []
+    for fx in range(4):
+        if fx == 0:
+            tmps.append(w24[..., :, 3:20] * 64)
+        else:
+            th = [int(t) for t in LUMA_FILTER[fx]]
+            tmps.append(sum(th[k] * w24[..., :, k:k + 17]
+                            for k in range(8)))
+    phases = []
+    for fy in range(4):
+        tv = [int(t) for t in LUMA_FILTER[fy]]
+        for fx in range(4):
+            tmp = tmps[fx]
+            if fy == 0:
+                acc = tmp[..., 3:20, :] * 64
+            else:
+                acc = sum(tv[k] * tmp[..., k:k + 17, :]
+                          for k in range(8))
+            phases.append(acc >> 6)
+    return jnp.stack(phases, axis=2)                   # (...,16,17,17)
+
+
+def _pred8_from14(p14):
+    return jnp.clip((p14 + 32) >> 6, 0, 255)
+
+
+def _subpel_refine_local(cur_b, ph14):
+    """Half- then quarter-pel SATD refinement on the per-CU phase
+    tensors (no gathers). Candidate order and strictly-better rule
+    match inter.refine_subpel. Returns (rel_q, pred14): the chosen
+    qpel offset relative to the window's full-pel MV (components in
+    [-3, 3]) and the winning 14-bit prediction blocks."""
+    nch, ncw = cur_b.shape[:2]
+
+    def cand_slice14(fy: int, fx: int):
+        p = ((fy & 3) << 2) | (fx & 3)
+        sy = (fy >> 2) + 1
+        sx = (fx >> 2) + 1
+        return ph14[:, :, p, sy:sy + 16, sx:sx + 16]
+
+    # step 1: half-pel (static phases per candidate)
+    best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for k in range(9):
+        ey, ex = 2 * int(_SUB_DY[k]), 2 * int(_SUB_DX[k])
+        pred8 = _pred8_from14(cand_slice14(ey, ex))
+        cost = _satd8_blocks_bf(cur_b - pred8)
+        best = jnp.minimum(best, (cost << 4) | k)
+    rank1 = best & 15
+
+    # step 2: quarter-pel; per-CU half winner h folded by 9-way select
+    best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
+    preds14 = []
+    for k in range(9):
+        oy, ox = int(_SUB_DY[k]), int(_SUB_DX[k])
+        p14 = jnp.zeros((nch, ncw, 16, 16), jnp.int32)
+        for k1 in range(9):
+            hy = 2 * int(_SUB_DY[k1])
+            hx = 2 * int(_SUB_DX[k1])
+            p14 = p14 + jnp.where(
+                (rank1 == k1)[..., None, None],
+                cand_slice14(hy + oy, hx + ox), 0)
+        preds14.append(p14)
+        cost = _satd8_blocks_bf(cur_b - _pred8_from14(p14))
+        best = jnp.minimum(best, (cost << 4) | k)
+    rank2 = best & 15
+
+    rel_y = jnp.zeros((nch, ncw), jnp.int32)
+    rel_x = jnp.zeros((nch, ncw), jnp.int32)
+    pred14 = jnp.zeros((nch, ncw, 16, 16), jnp.int32)
+    for k1 in range(9):
+        sel = rank1 == k1
+        rel_y = rel_y + jnp.where(sel, 2 * int(_SUB_DY[k1]), 0)
+        rel_x = rel_x + jnp.where(sel, 2 * int(_SUB_DX[k1]), 0)
+    for k in range(9):
+        sel = rank2 == k
+        rel_y = rel_y + jnp.where(sel, int(_SUB_DY[k]), 0)
+        rel_x = rel_x + jnp.where(sel, int(_SUB_DX[k]), 0)
+        pred14 = pred14 + jnp.where(sel[..., None, None],
+                                    preds14[k], 0)
+    return jnp.stack([rel_y, rel_x], axis=-1), pred14
+
+
+def _motion_luma_dev(cur, ref_pad, pad: int):
+    """Full luma motion pipeline: hierarchical full-pel search +
+    window-local subpel refine and MC. cur (H, W) int32; ref_pad
+    padded by `pad` >= LUMA_SRC_PAD on every side. Returns
+    (mv_q (nch, ncw, 2), pred14 blocks (nch, ncw, 16, 16))."""
+    h, w = cur.shape
+    cur_h = _down2_dev(cur)
+    ref_ext = ref_pad[pad - 8:pad + h + 8, pad - 8:pad + w + 8]
+    ref_h_pad = _down2_dev(ref_ext)                    # half-res pad 4
+    mvh = _coarse_search_dev(cur_h, ref_h_pad)
+    mv0 = jnp.clip(2 * mvh, -(MV_FULL_MAX - 1), MV_FULL_MAX - 1)
+
+    e = _window_canvas_dev(ref_pad, mv0, blk=CTB, win=WIN_L, orig=-5,
+                           lo=-(MV_FULL_MAX - 1), hi=MV_FULL_MAX - 1,
+                           pad=pad)
+    cur_b = _blocks(cur, CTB)
+    d_yx, w24 = _fullpel_refine_dev(cur_b, e)
+    ph14 = _window_phases14(w24)
+    rel_q, pred14 = _subpel_refine_local(cur_b, ph14)
+    mv_q = 4 * (mv0 + d_yx) + rel_q
+    return mv_q, pred14
+
+
+def _mc_chroma_window(ref_c_pad, mv_q, pad: int, out14: bool = False):
+    """Chroma MC from per-CU windows (no gathers): canvas + one-hot
+    4-tap weights (spec 8.5.4.2.2.2; value-equal to _mc_chroma_qpel).
+    ref_c_pad padded by `pad` >= CHROMA_PAD. Returns (hc, wc) plane."""
+    oy = mv_q[..., 0] >> 3                             # in [-5, 4]
+    ox = mv_q[..., 1] >> 3
+    lo = -(MV_FULL_MAX * 4 + 3) >> 3                   # -5
+    hi = (MV_FULL_MAX * 4 + 3) >> 3                    # 4
+    e = _window_canvas_dev(ref_c_pad, jnp.stack([oy, ox], axis=-1),
+                           blk=CTB // 2, win=WIN_C, orig=-1,
+                           lo=lo, hi=hi, pad=pad)
+    cf = np.asarray(CHROMA_FILTER, np.int32)
+    fy = mv_q[..., 0] & 7
+    fx = mv_q[..., 1] & 7
+    nch, ncw = fy.shape
+    ty = jnp.zeros((nch, ncw, 4), jnp.int32)
+    tx = jnp.zeros((nch, ncw, 4), jnp.int32)
+    for f in range(8):
+        ty = ty + jnp.where((fy == f)[..., None],
+                            jnp.asarray(cf[f]), 0)
+        tx = tx + jnp.where((fx == f)[..., None],
+                            jnp.asarray(cf[f]), 0)
+    n = CTB // 2
+    tmp = sum(tx[:, :, None, None, m] * e[..., :, m:m + n]
+              for m in range(4))                       # (nch,ncw,11,8)
+    acc = sum(ty[:, :, None, None, k] * tmp[..., k:k + n, :]
+              for k in range(4))                       # (nch,ncw,8,8)
+    if out14:
+        return _unblocks(acc >> 6)
+    return _unblocks(jnp.clip((acc + 2048) >> 12, 0, 255))
+
+
 def _luma_qpel_planes(ref_y_pad, out14: bool = False):
     """All 16 (fy, fx) quarter-sample planes from a LUMA_SRC_PAD-
     padded reference (8-tap DCT-IF, spec 8.5.4.2.2.1; device twin of
@@ -861,19 +1192,16 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     LUMA_SRC_PAD extra rows/cols, ref_u/v_pad CHROMA_PAD. The pad
     content defines the out-of-band semantics (edge replication on a
     single chip; neighbor halos + edge replication at picture borders
-    when row bands are sharded across chips)."""
+    when row bands are sharded across chips). Motion runs on the
+    gather-free window pipeline (_motion_luma_dev)."""
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
-    h, w = y.shape
-    hc, wc = h // 2, w // 2
 
-    planes = _luma_qpel_planes(ref_y_pad)
-    mv = motion_search_dev(y, ref_pad=planes[0], pad=PLANE_PAD)
-    mv_q = _refine_subpel(y, planes, mv, h, w)        # (nch, ncw, 2)
-    pred_y = _mc_luma_qpel(planes, mv_q, h, w)
-    pred_u = _mc_chroma_qpel(ref_u_pad, mv_q, hc, wc)
-    pred_v = _mc_chroma_qpel(ref_v_pad, mv_q, hc, wc)
+    mv_q, pred14_b = _motion_luma_dev(y, ref_y_pad, LUMA_SRC_PAD)
+    pred_y = _unblocks(_pred8_from14(pred14_b))
+    pred_u = _mc_chroma_window(ref_u_pad, mv_q, CHROMA_PAD)
+    pred_v = _mc_chroma_window(ref_v_pad, mv_q, CHROMA_PAD)
 
     outs = _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp,
                              qp_c, tu_split=tu_split)
@@ -891,8 +1219,6 @@ def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c,
     y = y.astype(jnp.int32)
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
-    h, w = y.shape
-    hc, wc = h // 2, w // 2
 
     mvs = []
     preds14 = []
@@ -903,14 +1229,13 @@ def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c,
                          mode="edge")
         ru_pad = jnp.pad(jnp.asarray(ru), CHROMA_PAD, mode="edge")
         rv_pad = jnp.pad(jnp.asarray(rv), CHROMA_PAD, mode="edge")
-        p14 = _luma_qpel_planes(ry_pad, out14=True)
-        uni = _uni_from_14(p14)
-        full = motion_search_dev(y, ref_pad=uni[0], pad=PLANE_PAD)
-        mv_q = _refine_subpel(y, uni, full, h, w)
+        mv_q, p14_b = _motion_luma_dev(y, ry_pad, LUMA_SRC_PAD)
         mvs.append(mv_q)
-        preds14.append(_mc_luma_qpel(p14, mv_q, h, w))
-        pu14.append(_mc_chroma_qpel(ru_pad, mv_q, hc, wc, out14=True))
-        pv14.append(_mc_chroma_qpel(rv_pad, mv_q, hc, wc, out14=True))
+        preds14.append(_unblocks(p14_b))
+        pu14.append(_mc_chroma_window(ru_pad, mv_q, CHROMA_PAD,
+                                      out14=True))
+        pv14.append(_mc_chroma_window(rv_pad, mv_q, CHROMA_PAD,
+                                      out14=True))
 
     pred_y = _bi_combine(preds14[0], preds14[1])
     pred_u = _bi_combine(pu14[0], pu14[1])
