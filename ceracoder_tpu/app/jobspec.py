@@ -47,6 +47,7 @@ class JobSpec:
     fps_den: int = 1
     codec: str = "h264"
     gop: int = 0          # 0 = 2 s of frames (reference GOP policy)
+    run: int = 8          # frames per fused device dispatch (1 = off)
     loop: bool = True
     audio_kind: str = "none"      # none | tone | wav
     audio_path: str = ""
@@ -100,6 +101,8 @@ def parse_jobspec(path: str | Path) -> JobSpec:
                 spec.codec = val
             elif key == "gop":
                 spec.gop = int(val)
+            elif key == "run":
+                spec.run = max(1, int(val))
         elif section == "audio":
             if key == "kind":
                 spec.audio_kind = val

@@ -36,10 +36,38 @@ from ceracoder_tpu.transport.srt import SrtClient, SrtError, srt_available
 SRT_ACK_TIMEOUT_MS = 6000      # reference: src/ceracoder.c:47
 HOUSEKEEPING_MS = 20           # reference: BITRATE_UPDATE_INT
 CONNECT_RETRY_S = 0.5          # reference: src/ceracoder.c:583
+STALL_CHECK_S = 1.0            # reference: src/ceracoder.c:600
 
 
 def getms() -> int:
     return int(time.monotonic() * 1000)
+
+
+class StallDetector:
+    """Pipeline stall watchdog (reference: stall_check,
+    src/ceracoder.c:147-199): the position — here frames sent — being
+    unchanged across two consecutive 1 s checks means the pipeline is
+    wedged and the process must exit so a supervisor can restart it.
+    Arms only once the position first advances (startup compiles and
+    connects can legitimately take longer than the check interval)."""
+
+    def __init__(self, get_pos, on_stall):
+        self._get_pos = get_pos
+        self._on_stall = on_stall
+        self._last: Optional[int] = None
+        self._armed = False
+
+    def check(self) -> bool:
+        pos = self._get_pos()
+        if not self._armed:
+            self._armed = pos > 0
+            self._last = pos
+            return False
+        stalled = pos == self._last
+        self._last = pos
+        if stalled:
+            self._on_stall()
+        return stalled
 
 
 class Transport:
@@ -193,6 +221,7 @@ class CeracoderApp:
         self.packer = TsPacker(pkt_size=pkt)
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0
+        self.frames_collected = 0
         self.overlay_line = ""
         # structured telemetry sink (SURVEY.md §5: structured version
         # of the overlay's per-tick controller state)
@@ -222,9 +251,13 @@ class CeracoderApp:
     def stop(self):
         if not self.state.quit:
             self.state.quit = True
-            # force exit if teardown hangs (reference :129,441-443)
-            signal.signal(signal.SIGALRM, lambda *_: sys.exit(0))
-            signal.alarm(3)
+            # force exit if teardown hangs (reference :129,441-443);
+            # signals can only be installed from the main thread — the
+            # stall watchdog thread has its own os._exit fallback
+            import threading
+            if threading.current_thread() is threading.main_thread():
+                signal.signal(signal.SIGALRM, lambda *_: sys.exit(0))
+                signal.alarm(3)
 
     def _reload_config(self):
         """SIGHUP: re-read config, re-apply bounds (reference :161-186)."""
@@ -292,12 +325,49 @@ class CeracoderApp:
                 import json
                 self._stats_fh.write(json.dumps(tick) + "\n")
 
+    def _start_stall_watchdog(self):
+        """1 s stall-check thread (reference: g_timeout_add(1000,
+        stall_check)); a wedged encode dispatch or hung source blocks
+        the frame loop, so the check runs off-thread, and if the
+        process does not wind down within 3 s of a detected stall it
+        is force-exited (the SIGALRM analog for a blocked main
+        thread)."""
+        import os
+        import threading
+
+        def on_stall():
+            print("Pipeline stall detected, exiting", file=sys.stderr)
+            self.stop()
+
+        # position = source progress + egress progress: a wedged
+        # source OR a wedged encode/send path both freeze it
+        det = StallDetector(
+            lambda: self.frames_collected + self.frames_sent, on_stall)
+
+        def loop():
+            while not self.state.quit:
+                time.sleep(STALL_CHECK_S)
+                if self.state.quit:
+                    return
+                if det.check():
+                    time.sleep(3.0)
+                    os._exit(1)
+
+        t = threading.Thread(target=loop, daemon=True,
+                             name="stall-watchdog")
+        t.start()
+        return t
+
     def run(self) -> int:
         self._install_signals()
         self._prev_ack_count = 0
         self._prev_ack_ts = getms()
         if not self.transport.connect(lambda: self.state.quit):
             return 1
+        if self.realtime:
+            # live pipelines only: offline/file runs legitimately
+            # encode slower than the 1 s check on a loaded host
+            self._start_stall_watchdog()
 
         fps = self.rate.fps
         frame_period = 1.0 / fps
@@ -306,68 +376,28 @@ class CeracoderApp:
         next_log = 0.0
         pts = 0
 
+        # PTS fixup engages when the source carries real capture
+        # timestamps (reference: cb_ptsfixup, src/ceracoder.c:371-423);
+        # synchronous sources keep the synthetic fixed-period PTS
+        fixer = None
+        if hasattr(self.source, "frames_with_pts"):
+            from ceracoder_tpu.app.ptsfix import PtsFixup
+            fixer = PtsFixup(self.source.fps_num, self.source.fps_den)
+            frame_iter = self.source.frames_with_pts()
+        else:
+            frame_iter = ((f, None) for f in self.source.frames())
+
+        pacer = {"next_frame": next_frame, "next_hk": next_hk,
+                 "next_log": next_log, "period": frame_period}
+        run_len = max(1, getattr(self.spec, "run", 1))
+        use_runs = (run_len > 1
+                    and hasattr(self.encoder, "encode_run_async")
+                    and getattr(self.encoder, "bframes", 0) == 0)
         try:
-            for y, u, v in self.source.frames():
-                if self.state.quit:
-                    break
-                if self.max_frames and self.frames_sent >= self.max_frames:
-                    break
-                if self.state.sighup:
-                    self._reload_config()
-
-                y, u, v = pad_to_mb(y, u, v)
-                qp = self.rate.current_qp
-                # scene-cut detection: a cut coded as P is mostly
-                # intra-fallback CUs anyway; forcing a fresh IDR costs
-                # little and restarts the prediction chain (the
-                # adaptive analog of x264's scenecut; the reference's
-                # fixed-GOP encoders lack this)
-                cut = self._scene_cut(y)
-                frame = self.encoder.encode_frame(y, u, v, qp=qp,
-                                                  force_idr=cut)
-                au = frame.data
-                if frame.keyframe:
-                    au = self.encoder.headers() + au
-                self.rate.update(self.cur_bitrate, len(frame.data) * 8)
-
-                v_delay90 = max(0, -self.opts.av_delay) * 90
-                ts = self.mux.mux_video(au, pts90=pts + v_delay90,
-                                        keyframe=frame.keyframe)
-                if self.audio is not None:
-                    # one video period's worth of samples keeps A/V in
-                    # lockstep; the AAC frame boundary crossing is
-                    # handled by the encoder's internal FIFO
-                    n = round(self.audio_src.sample_rate
-                              * self.source.fps_den / self.source.fps_num)
-                    for af in self.audio.feed(self.audio_src.read(n)):
-                        ts += self.mux.mux_audio(af.adts, af.pts90)
-                pts += int(90000 * self.source.fps_den / self.source.fps_num)
-                for payload in self.packer.feed(ts):
-                    if not self.transport.send(payload):
-                        print("Transport send failed, exiting",
-                              file=sys.stderr)
-                        self.stop()
-                        break
-                self.frames_sent += 1
-
-                # pace + housekeeping until the next frame deadline
-                next_frame += frame_period
-                while True:
-                    now = getms()
-                    if now >= next_hk:
-                        self._housekeeping(now)
-                        next_hk = now + HOUSEKEEPING_MS
-                    if time.monotonic() >= next_frame or not self.realtime:
-                        break
-                    if self.state.quit:
-                        break
-                    time.sleep(min(0.005,
-                                   max(0.0, next_frame - time.monotonic())))
-                if time.monotonic() > next_frame + 5 * frame_period:
-                    next_frame = time.monotonic()  # fell behind: resync
-                if self.overlay_line and time.monotonic() >= next_log:
-                    print(self.overlay_line, file=sys.stderr)
-                    next_log = time.monotonic() + 1.0
+            if use_runs:
+                self._loop_pipelined(frame_iter, fixer, pacer, run_len)
+            else:
+                self._loop_per_frame(frame_iter, fixer, pacer, pts)
         finally:
             if self.transport.kind == "file":
                 tail = self.packer.flush()
@@ -375,6 +405,148 @@ class CeracoderApp:
                     self.transport.send(tail)
             self.transport.close()
         return 0
+
+    def _emit_frame(self, frame, fpts: int, pacer: dict):
+        """Mux + send one encoded frame, then pace to its deadline
+        with 20 ms housekeeping interleaved (reference: new_buf_cb +
+        connection_housekeeping)."""
+        au = frame.data
+        if frame.keyframe:
+            au = self.encoder.headers() + au
+        self.rate.update(self.cur_bitrate, len(frame.data) * 8)
+
+        v_delay90 = max(0, -self.opts.av_delay) * 90
+        ts = self.mux.mux_video(au, pts90=fpts + v_delay90,
+                                keyframe=frame.keyframe)
+        if self.audio is not None:
+            # one video period's worth of samples keeps A/V in
+            # lockstep; the AAC frame boundary crossing is handled by
+            # the encoder's internal FIFO
+            n = round(self.audio_src.sample_rate
+                      * self.source.fps_den / self.source.fps_num)
+            for af in self.audio.feed(self.audio_src.read(n)):
+                ts += self.mux.mux_audio(af.adts, af.pts90)
+        for payload in self.packer.feed(ts):
+            if not self.transport.send(payload):
+                print("Transport send failed, exiting",
+                      file=sys.stderr)
+                self.stop()
+                break
+        self.frames_sent += 1
+
+        # pace + housekeeping until the next frame deadline
+        pacer["next_frame"] += pacer["period"]
+        while True:
+            now = getms()
+            if now >= pacer["next_hk"]:
+                self._housekeeping(now)
+                pacer["next_hk"] = now + HOUSEKEEPING_MS
+            if (time.monotonic() >= pacer["next_frame"]
+                    or not self.realtime):
+                break
+            if self.state.quit:
+                break
+            time.sleep(min(0.005, max(0.0, pacer["next_frame"]
+                                      - time.monotonic())))
+        if time.monotonic() > pacer["next_frame"] + 5 * pacer["period"]:
+            pacer["next_frame"] = time.monotonic()  # behind: resync
+        if self.overlay_line and time.monotonic() >= pacer["next_log"]:
+            print(self.overlay_line, file=sys.stderr)
+            pacer["next_log"] = time.monotonic() + 1.0
+
+    def _loop_per_frame(self, frame_iter, fixer, pacer, pts):
+        for (y, u, v), in_pts in frame_iter:
+            if self.state.quit:
+                break
+            if fixer is not None:
+                fx = fixer.feed(in_pts)
+                if fx.droppable:
+                    continue
+                pts = fx.pts90
+            if self.max_frames and self.frames_sent >= self.max_frames:
+                break
+            if self.state.sighup:
+                self._reload_config()
+
+            self.frames_collected += 1
+            y, u, v = pad_to_mb(y, u, v)
+            qp = self.rate.current_qp
+            # scene-cut detection: a cut coded as P is mostly
+            # intra-fallback CUs anyway; forcing a fresh IDR costs
+            # little and restarts the prediction chain (the adaptive
+            # analog of x264's scenecut; the reference's fixed-GOP
+            # encoders lack this)
+            cut = self._scene_cut(y)
+            frame = self.encoder.encode_frame(y, u, v, qp=qp,
+                                              force_idr=cut)
+            self._emit_frame(frame, pts, pacer)
+            if fixer is None:
+                pts += int(90000 * self.source.fps_den
+                           / self.source.fps_num)
+
+    def _loop_pipelined(self, frame_iter, fixer, pacer, run_len: int):
+        """Fused run-dispatch hot path (VERDICT: the product path must
+        be the fast path): frames collect into runs of `run_len`, each
+        run encodes in ONE device dispatch (lax.scan carries the
+        reference on device), and run N's results mux/send — paced,
+        housekeeping interleaved — while run N+1 computes. Matches the
+        reference's model where the hot data path is the product path
+        (src/ceracoder.c:297-339)."""
+        pending = []            # (PendingFrame, pts90)
+        batch = []              # (y, u, v) padded planes
+        batch_pts = []
+        force_idr = False
+        pts = 0
+        n_collected = 0
+
+        def drain(plist):
+            for pf, fpts in plist:
+                if self.state.quit:
+                    return
+                self._emit_frame(pf.result(), fpts, pacer)
+
+        def dispatch():
+            nonlocal batch, batch_pts, force_idr, pending
+            if not batch:
+                return
+            pfs = self.encoder.encode_run_async(
+                frames=batch, qp=self.rate.current_qp,
+                force_idr=force_idr)
+            force_idr = False
+            newp = list(zip(pfs, batch_pts))
+            batch, batch_pts = [], []
+            drain(pending)       # overlap: host work vs device run
+            pending = newp
+
+        for (y, u, v), in_pts in frame_iter:
+            if self.state.quit:
+                break
+            if fixer is not None:
+                fx = fixer.feed(in_pts)
+                if fx.droppable:
+                    continue
+                pts = fx.pts90
+            if self.max_frames and n_collected >= self.max_frames:
+                break
+            if self.state.sighup:
+                self._reload_config()
+
+            self.frames_collected += 1
+            y, u, v = pad_to_mb(y, u, v)
+            cut = self._scene_cut(y)
+            if cut:
+                dispatch()       # close the run; next starts the IDR
+                force_idr = True
+            batch.append((y, u, v))
+            batch_pts.append(pts)
+            n_collected += 1
+            if fixer is None:
+                pts += int(90000 * self.source.fps_den
+                           / self.source.fps_num)
+            if len(batch) >= run_len:
+                dispatch()
+        dispatch()
+        drain(pending)
 
 
 def main(argv=None) -> int:

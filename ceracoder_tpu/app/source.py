@@ -236,3 +236,43 @@ def pad_to_mb(y: np.ndarray, u: np.ndarray, v: np.ndarray):
     u = np.pad(u, ((0, ph // 2), (0, pw // 2)), mode="edge")
     v = np.pad(v, ((0, ph // 2), (0, pw // 2)), mode="edge")
     return y, u, v
+
+
+class JitteryCaptureSource:
+    """Wrap any FrameSource with synthetic capture timestamps (90 kHz)
+    carrying jitter, duplicates, and occasional backwards steps — the
+    conditions the reference's ptsfixup probe exists for (reference:
+    src/ceracoder.c:371-423). Exposes frames_with_pts(), the optional
+    source protocol the app feeds through app.ptsfix.PtsFixup."""
+
+    def __init__(self, inner, jitter90: int = 300, dup_every: int = 0,
+                 backstep_every: int = 0, seed: int = 0):
+        self.inner = inner
+        self.width = inner.width
+        self.height = inner.height
+        self.fps_num = inner.fps_num
+        self.fps_den = inner.fps_den
+        self.jitter90 = jitter90
+        self.dup_every = dup_every
+        self.backstep_every = backstep_every
+        self.seed = seed
+
+    def frames(self):
+        for f, _ in self.frames_with_pts():
+            yield f
+
+    def frames_with_pts(self):
+        rng = np.random.default_rng(self.seed)
+        period = 90000 * self.fps_den / max(1, self.fps_num)
+        t = 0.0
+        i = 0
+        for f in self.inner.frames():
+            i += 1
+            t += period
+            pts = int(t) + int(rng.integers(-self.jitter90,
+                                            self.jitter90 + 1))
+            if self.backstep_every and i % self.backstep_every == 0:
+                pts -= int(2 * self.jitter90 + period)
+            yield f, pts
+            if self.dup_every and i % self.dup_every == 0:
+                yield f, pts            # duplicate frame, same pts

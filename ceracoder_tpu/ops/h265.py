@@ -1156,20 +1156,47 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
         luma_lv.reshape(n_ctb, 256),
         cb_lv.reshape(n_ctb, 64),
         cr_lv.reshape(n_ctb, 64),
-    ], axis=1)                                        # (n_ctb, 384)
+    ], axis=1).astype(jnp.int16)                      # (n_ctb, 384)
     mask = flat != 0
     counts = jnp.stack([mask[:, :256].sum(1), mask[:, 256:320].sum(1),
                         mask[:, 320:].sum(1)], axis=1).astype(jnp.int32)
-    fm = mask.reshape(-1)
-    fv = flat.reshape(-1)
-    fpos = jnp.tile(jnp.arange(384, dtype=jnp.int16), n_ctb)
-    dst = jnp.cumsum(fm) - 1
-    dst = jnp.where(fm, dst, cap)                     # drop into slot cap
-    pos = jnp.zeros(cap + 1, jnp.int16).at[dst].set(fpos, mode="drop")
-    val = jnp.zeros(cap + 1, jnp.int16).at[dst].set(
-        fv.astype(jnp.int16), mode="drop")
-    nnz = fm.sum().astype(jnp.int32)
-    return pos[:cap], val[:cap], counts.reshape(nch, ncw, 3), nnz
+
+    # two-level compaction: a whole-frame element scatter costs ~45 ms
+    # on TPU (~14 ns/update over all 3.1M slots); a row scatter over
+    # 128-wide segments is ~free, so compact nonzero segments first
+    # and element-scatter only the reduced buffer (~3 ms total).
+    # Segment order (CTB-major, [luma0|luma1|cb+cr] within a CTB)
+    # matches the flat slot order, so the output stream is unchanged.
+    n_seg = n_ctb * 3
+    segcap = min(n_seg, 6144)
+    segs = flat.reshape(n_seg, 128)
+    seg_nz = mask.reshape(n_seg, 128).any(-1)
+    n_seg_nz = seg_nz.sum().astype(jnp.int32)
+    dstr = jnp.cumsum(seg_nz) - 1
+    dstr = jnp.where(seg_nz, dstr, segcap)
+    comp = jnp.zeros((segcap + 1, 128), jnp.int16).at[dstr].set(
+        segs, mode="drop")
+    segid = jnp.zeros(segcap + 1, jnp.int32).at[dstr].set(
+        jnp.arange(n_seg, dtype=jnp.int32), mode="drop")
+
+    red = comp[:segcap].reshape(-1)
+    posr = ((segid[:segcap] % 3) * 128)[:, None] + jnp.arange(
+        128, dtype=jnp.int32)
+    m2 = red != 0
+    packed = ((posr.reshape(-1) << 16)
+              | (red.astype(jnp.int32) & 0xFFFF))
+    dst = jnp.cumsum(m2) - 1
+    dst = jnp.where(m2, dst, cap)
+    out = jnp.zeros(cap + 1, jnp.int32).at[dst].set(packed,
+                                                    mode="drop")
+    out = out[:cap]
+    pos = (out >> 16).astype(jnp.int16)
+    val = jax.lax.bitcast_convert_type(
+        (out & 0xFFFF).astype(jnp.uint16), jnp.int16)
+    nnz = mask.sum().astype(jnp.int32)
+    # dropped segments would corrupt the stream: force host fallback
+    nnz = jnp.where(n_seg_nz > segcap, jnp.int32(cap + 1), nnz)
+    return pos, val, counts.reshape(nch, ncw, 3), nnz
 
 
 def _p_frame_core(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,

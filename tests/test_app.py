@@ -179,14 +179,126 @@ def test_scene_cut_forces_idr(tmp_path):
                        realtime=False)
     keyframes = []
     orig = app.encoder.encode_frame
+    orig_run = app.encoder.encode_run_async
 
     def spy(y, u, v, qp=None, force_idr=False):
         fr = orig(y, u, v, qp=qp, force_idr=force_idr)
         keyframes.append(fr.keyframe)
         return fr
 
+    def spy_run(*a, **kw):
+        pfs = orig_run(*a, **kw)
+        keyframes.extend(pf.keyframe for pf in pfs)
+        return pfs
+
     app.encoder.encode_frame = spy
+    app.encoder.encode_run_async = spy_run
     app.run()
     assert keyframes[0] is True
     assert keyframes[3] is True          # the cut
     assert keyframes[1] is False and keyframes[4] is False
+
+
+def test_pts_fixup_grid_lock_and_droppable():
+    # reference semantics: src/ceracoder.c:371-423
+    from ceracoder_tpu.app.ptsfix import PtsFixup
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    fx = PtsFixup(30, 1)
+    period = 3000
+    outs = []
+    t = 0
+    for i in range(200):
+        t += period + int(rng.integers(-300, 301))
+        outs.append(fx.feed(t))
+    kept = [o for o in outs if not o.droppable]
+    # every output lands on the grid spanned by whole periods from the
+    # first pts (periods may drift as the rolling average trains, so
+    # check consecutive deltas are whole multiples of the then-period)
+    assert all(o.dts90 is None for o in outs)
+    # rolling average stays near the true period
+    assert abs(fx.period - period) < 60
+    # deltas between consecutive outputs are positive whole periods
+    for a, b in zip(kept, kept[1:]):
+        assert b.pts90 > a.pts90
+    # a duplicate (same pts) is droppable and does not advance
+    last = kept[-1].pts90
+    dup = fx.feed(t)
+    assert dup.droppable and dup.pts90 == last
+    # a backwards step is droppable too
+    back = fx.feed(t - 2 * period)
+    assert back.droppable and back.pts90 == last
+
+
+def test_pts_fixup_skips_grid_slots_on_gaps():
+    from ceracoder_tpu.app.ptsfix import PtsFixup
+
+    fx = PtsFixup(30, 1)
+    period = 3000
+    p0 = fx.feed(0).pts90
+    p1 = fx.feed(period).pts90
+    assert p1 - p0 == period
+    # a dropped capture frame (2-period gap) advances two grid slots
+    p2 = fx.feed(3 * period).pts90
+    assert p2 - p1 == 2 * period
+
+
+def test_stall_detector_reference_semantics():
+    # reference: src/ceracoder.c:147-199 — position unchanged across
+    # two consecutive checks => stall; arms only after first progress
+    from ceracoder_tpu.app.main import StallDetector
+
+    pos = {"v": 0}
+    stalls = []
+    det = StallDetector(lambda: pos["v"], lambda: stalls.append(1))
+    # not armed while no progress (startup)
+    assert det.check() is False
+    assert det.check() is False
+    assert not stalls
+    pos["v"] = 1
+    assert det.check() is False          # arms
+    pos["v"] = 2
+    assert det.check() is False          # progressing
+    assert det.check() is True           # unchanged => stall
+    assert stalls == [1]
+
+
+def test_app_stall_watchdog_exits_wedged_process(tmp_path):
+    # integration: a source that wedges after 3 frames must not hang
+    # the app forever — the watchdog thread force-exits the process
+    import os
+    import sys as _sys
+
+    repo = str(Path(__file__).resolve().parents[1])
+    code = r"""
+import sys, time
+sys.path.insert(0, %r)
+from ceracoder_tpu.app.cli import CliOptions
+from ceracoder_tpu.app.main import CeracoderApp
+import ceracoder_tpu.app.main as m
+m.STALL_CHECK_S = 0.2
+
+class WedgeSource:
+    width, height, fps_num, fps_den = 64, 48, 30, 1
+    def frames(self):
+        import numpy as np
+        f = (np.zeros((48, 64), np.uint8), np.zeros((24, 32), np.uint8),
+             np.zeros((24, 32), np.uint8))
+        for _ in range(3):
+            yield f
+        time.sleep(60)       # wedged source
+
+opts = CliOptions(job_file=%r, addr="-", port=0)
+app = CeracoderApp(opts, realtime=True)
+app.source = WedgeSource()
+sys.exit(app.run())
+"""
+    spec = tmp_path / "job.ini"
+    spec.write_text("[source]\nkind = test\nwidth = 64\nheight = 48\n"
+                    "fps = 30\n\n[encode]\ncodec = h264\ngop = 30\n")
+    p = subprocess.run(
+        [_sys.executable, "-c", code % (repo, str(spec))],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        timeout=90, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert b"stall detected" in p.stderr.lower()
