@@ -18,9 +18,9 @@ executable per GOP segment), which amortizes the per-launch
 host->device round trip — the dominant cost over the dev-harness
 tunnel (~35-40 ms/launch vs a few ms/frame compute).
 
-Codec selection: CERACODER_BENCH=h264|hevc (default h264 until the
-HEVC run executable is compile-validated on the chip); size override
-CERACODER_BENCH_SIZE=WxH for CPU smoke runs.
+Codec selection: CERACODER_BENCH=hevc|h264 (default hevc — the
+flagship pipeline); size override CERACODER_BENCH_SIZE=WxH for CPU
+smoke runs.
 """
 
 import json
@@ -66,7 +66,7 @@ def bench_encoder(make_encoder, w, h):
 
 
 def main():
-    codec = os.environ.get("CERACODER_BENCH", "h264")
+    codec = os.environ.get("CERACODER_BENCH", "hevc")
     size = os.environ.get("CERACODER_BENCH_SIZE", "1920x1088")
     w, h = map(int, size.split("x"))
 

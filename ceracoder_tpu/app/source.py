@@ -128,8 +128,12 @@ class DeviceTestPatternSource:
                 n = (n ^ (n >> 13)) * jnp.uint32(1274126177)
                 t = ((n >> 24) & 0xFF).astype(jnp.int32) % (2 * texture + 1)
                 y = jnp.clip(y + t - texture, 0, 255)
-            u = bars(bar_cb, bar[::2, ::2])
-            v = bars(bar_cr, bar[::2, ::2])
+            # half-res bar index computed directly: stride-2 slicing
+            # on the minor (lane) dim is a ~9 ns/elem shuffle on TPU
+            xxc = jnp.mgrid[0:h // 2, 0:w // 2][1]
+            bar_c = xxc * 2 * 8 // w
+            u = bars(bar_cb, bar_c)
+            v = bars(bar_cr, bar_c)
             return (y.astype(jnp.uint8), u.astype(jnp.uint8),
                     v.astype(jnp.uint8))
 

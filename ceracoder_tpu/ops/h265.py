@@ -700,26 +700,16 @@ while _H8.shape[0] < 8:
 
 def _satd8_frame(diff):
     """Per-16x16-CU sum of 8x8 Hadamard SATD (device twin of
-    inter.satd8_frame). diff: (H, W) int32."""
-    h, w = diff.shape
-    d = diff.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    hm = jnp.asarray(_H8, jnp.int32)
-    t = jnp.einsum("ij,abjk,kl->abil", hm, d, hm,
-                   preferred_element_type=jnp.int32)
-    s8 = jnp.abs(t).sum((-1, -2)) >> 2
-    return s8.reshape(h // CTB, 2, w // CTB, 2).sum((1, 3))
+    inter.satd8_frame; butterfly form — 8x8 einsum matmuls are too
+    small for the MXU and fall to a slow path). diff: (H, W) int32."""
+    return _satd8_blocks(_blocks(diff, CTB))
 
 
 def _satd8_blocks(d):
     """8x8 Hadamard SATD per 16x16 block: d (..., 16, 16) int32 ->
-    (...) int32 (device twin of inter.satd8_block)."""
-    lead = d.shape[:-2]
-    d4 = d.reshape(*lead, 2, 8, 2, 8)
-    hm = jnp.asarray(_H8, jnp.int32)
-    t = jnp.einsum("ij,...ajbk,kl->...abil", hm, d4, hm,
-                   preferred_element_type=jnp.int32)
-    s8 = jnp.abs(t).sum((-1, -2)) >> 2
-    return s8.sum((-1, -2))
+    (...) int32 (device twin of inter.satd8_block; butterfly form,
+    value-equal to the H8 @ d @ H8 definition)."""
+    return _satd8_blocks_bf(d)
 
 
 def _refine_subpel(cur, planes, mv_full, h: int, w: int):
