@@ -171,7 +171,8 @@ class CeracoderApp:
                                      srt_latency=self.latency,
                                      srt_pkt_size=pkt)
         fps = self.source.fps_num / max(1, self.source.fps_den)
-        self.rate = QpRateController(fps=fps)
+        self.rate = QpRateController(fps=fps,
+                                     gop=self.spec.gop_frames)
         self.cur_bitrate = self.runner.config.max_bitrate
 
         w = (self.source.width + 15) // 16 * 16
@@ -413,7 +414,8 @@ class CeracoderApp:
         au = frame.data
         if frame.keyframe:
             au = self.encoder.headers() + au
-        self.rate.update(self.cur_bitrate, len(frame.data) * 8)
+        self.rate.update(self.cur_bitrate, len(frame.data) * 8,
+                         keyframe=frame.keyframe)
 
         v_delay90 = max(0, -self.opts.av_delay) * 90
         ts = self.mux.mux_video(au, pts90=fpts + v_delay90,

@@ -323,7 +323,10 @@ class TestInterConformance:
         p_bytes = sum(len(gop.encode_frame(*f)[0]) for f in frames[1:])
         intra = H265IntraEncoder(96, 64, qp=30)
         i_bytes = sum(len(intra.encode_frame(*f)) for f in frames[1:])
-        assert p_bytes < i_bytes * 0.8
+        # 0.85: hierarchical ME (half-res coarse + +-1 refine) trades
+        # ~0.07 dB on the rd_compare clip for a 10x search speedup;
+        # on this tiny 96x64 pan it shows up as a few % of P bytes
+        assert p_bytes < i_bytes * 0.85
 
 
 class TestBFrames:
