@@ -48,6 +48,9 @@ class JobSpec:
     codec: str = "h264"
     gop: int = 0          # 0 = 2 s of frames (reference GOP policy)
     run: int = 8          # frames per fused device dispatch (1 = off)
+    # [parallel] (SURVEY.md §2.7 axes as product knobs; hevc only):
+    bands: int = 1        # CTB-row bands of each frame across devices
+    gop_parallel: int = 1  # closed GOPs round-robined across devices
     loop: bool = True
     audio_kind: str = "none"      # none | tone | wav
     audio_path: str = ""
@@ -103,6 +106,11 @@ def parse_jobspec(path: str | Path) -> JobSpec:
                 spec.gop = int(val)
             elif key == "run":
                 spec.run = max(1, int(val))
+        elif section == "parallel":
+            if key == "bands":
+                spec.bands = max(1, int(val))
+            elif key == "gop_parallel":
+                spec.gop_parallel = max(1, int(val))
         elif section == "audio":
             if key == "kind":
                 spec.audio_kind = val

@@ -179,11 +179,40 @@ class CeracoderApp:
         h = (self.source.height + 15) // 16 * 16
         if self.spec.codec == "hevc":
             # device compute + native entropy (the production HEVC
-            # path); the numpy H265RowEncoder is its executable spec
-            from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
-            self.encoder = H265DeviceEncoder(
-                self.source.width, self.source.height,
-                qp=self.rate.current_qp, gop=self.spec.gop_frames)
+            # path); the numpy H265RowEncoder is its executable spec.
+            # [parallel] bands/gop_parallel route through the sharded
+            # / GOP-parallel schedulers (SURVEY.md §2.7 as product
+            # knobs), falling back to single-device when the mesh
+            # isn't there.
+            import jax as _jax
+            n_dev = len(_jax.devices())
+            if self.spec.bands > 1 and n_dev >= self.spec.bands:
+                from ceracoder_tpu.parallel.hevc import (
+                    ShardedH265Encoder)
+                self.encoder = ShardedH265Encoder(
+                    self.source.width, self.source.height,
+                    qp=self.rate.current_qp, gop=self.spec.gop_frames,
+                    n_bands=self.spec.bands)
+            elif self.spec.gop_parallel > 1 and n_dev > 1:
+                from ceracoder_tpu.parallel.hevc import (
+                    GopParallelStreamEncoder)
+                self.encoder = GopParallelStreamEncoder(
+                    self.source.width, self.source.height,
+                    qp=self.rate.current_qp, gop=self.spec.gop_frames,
+                    devices=_jax.devices()[:self.spec.gop_parallel])
+                # closed-GOP batches: run == GOP for byte-identity
+                # with a single-device encode
+                self.spec.run = self.spec.gop_frames
+            else:
+                if self.spec.bands > 1 or self.spec.gop_parallel > 1:
+                    print("parallel knobs ignored: "
+                          f"{n_dev} device(s) available",
+                          file=sys.stderr)
+                from ceracoder_tpu.codec.h265.device import (
+                    H265DeviceEncoder)
+                self.encoder = H265DeviceEncoder(
+                    self.source.width, self.source.height,
+                    qp=self.rate.current_qp, gop=self.spec.gop_frames)
             self.video_stream_type = 0x24   # STREAM_TYPE_HEVC
         else:
             self.encoder = H264Encoder(w, h, qp=self.rate.current_qp,

@@ -168,20 +168,23 @@ def _deblock_banded(rec, is_intra, cbf_l, mv, qp, n_rows: int,
             outs[1].astype(jnp.uint8))
 
 
-def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
-                      deblock: bool = True, tu_split: bool = False):
-    """Build a jitted sharded HEVC encode step over (streams, rows).
+def hevc_sharded_step_t(mesh, idr: bool = False,
+                        deblock: bool = True, tu_split: bool = False):
+    """Build a jitted sharded HEVC encode step over (streams, rows)
+    with TRACED qp/qp_c (one executable serves every QP — rate
+    control changes QP per frame and a recompile per value would be
+    prohibitive on hardware).
 
-    Inputs: y (S, H, W), u, v (S, H/2, W/2) uint8 planes and the
-    previous deblocked reconstruction (same shapes) — all sharded
-    streams x row-bands. Returns the per-CTB arrays and the deblocked
-    reconstruction (sharded like the inputs) plus a per-stream psum of
-    nonzero-level counts for rate control. Bit-identical to the
-    single-chip ops for any band split.
+    Inputs: y (S, H, W), u, v (S, H/2, W/2) uint8 planes, the previous
+    deblocked reconstruction (same shapes) — all sharded
+    streams x row-bands — and scalar qp, qp_c. Returns the per-CTB
+    arrays and the deblocked reconstruction (sharded like the inputs)
+    plus a per-stream psum of nonzero-level counts for rate control.
+    Bit-identical to the single-chip ops for any band split.
     """
     n_rows = mesh.shape["rows"]
 
-    def shard_fn(y, u, v, ry, ru, rv):
+    def shard_fn(y, u, v, ry, ru, rv, qp, qp_c):
         if not idr:
             ry = _halo_rows(ry.astype(jnp.int32), LUMA_SRC_PAD, n_rows)
             ru = _halo_rows(ru.astype(jnp.int32), CHROMA_PAD, n_rows)
@@ -228,6 +231,191 @@ def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
         P("streams"),
     )
     fn = jax.shard_map(shard_fn, mesh=mesh,
-                       in_specs=(sp, sp, sp, sp, sp, sp),
+                       in_specs=(sp, sp, sp, sp, sp, sp, P(), P()),
                        out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
+
+
+def hevc_sharded_step(mesh, qp: int, qp_c: int, idr: bool = False,
+                      deblock: bool = True, tu_split: bool = False):
+    """Back-compat wrapper of hevc_sharded_step_t with fixed QP."""
+    fn = hevc_sharded_step_t(mesh, idr=idr, deblock=deblock,
+                             tu_split=tu_split)
+
+    def call(y, u, v, ry, ru, rv):
+        return fn(y, u, v, ry, ru, rv, jnp.int32(qp), jnp.int32(qp_c))
+
+    return call
+
+
+class ShardedH265Encoder:
+    """App-facing banded encoder (config[3] analog: one frame's CTB-row
+    bands sharded across chips with ICI halos): H265DeviceEncoder
+    surface (headers/encode_frame/resume) over hevc_sharded_step_t,
+    feeding the same host entropy stage. Bit-identical to the
+    single-chip encoder for any band count (tests/test_parallel_hevc,
+    tests/test_app_parallel)."""
+
+    bframes = 0
+
+    def __init__(self, width: int, height: int, qp: int = 32,
+                 gop: int = 60, n_bands: int = 2, mesh=None,
+                 native_entropy: bool = True, deblock: bool = True,
+                 tu_split: bool = False):
+        import numpy as np
+
+        from ceracoder_tpu.codec.h265.intra import chroma_qp
+        from ceracoder_tpu.codec.h265.syntax import HevcParams
+        from ceracoder_tpu.parallel.mesh import make_mesh
+
+        self.width, self.height = width, height
+        self.qp = qp
+        self.gop = max(1, gop)
+        self.native_entropy = native_entropy
+        self.deblock = deblock
+        self.tu_split = tu_split
+        self._chroma_qp = chroma_qp
+        self.n_bands = n_bands
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_streams=1, n_rows=n_bands)
+        # pad so CTB rows split evenly into bands
+        self.pw = -(-width // CTB) * CTB
+        rows = -(-height // CTB)
+        rows = -(-rows // n_bands) * n_bands
+        self.ph = rows * CTB
+        self.params = HevcParams(width=width, height=height, qp=qp,
+                                 pcm_enabled=False, deblock=deblock,
+                                 max_reorder=0, max_dpb_minus1=1,
+                                 tile_rows=True, sao=False,
+                                 tu_split_inter=tu_split)
+        self._fn_i = hevc_sharded_step_t(self.mesh, idr=True,
+                                         deblock=deblock,
+                                         tu_split=tu_split)
+        self._fn_p = hevc_sharded_step_t(self.mesh, idr=False,
+                                         deblock=deblock,
+                                         tu_split=tu_split)
+        self._np = np
+        self._ref = None
+        self._poc = 0
+
+    def headers(self) -> bytes:
+        from ceracoder_tpu.codec.h265.syntax import (
+            write_pps, write_sps, write_vps)
+        p = self.params
+        return write_vps(p) + write_sps(p) + write_pps(p)
+
+    def resume(self) -> None:
+        self._ref = None
+        self._poc = 0
+
+    def _pad(self, plane, h, w):
+        plane = jnp.asarray(plane)
+        ph, pw = plane.shape
+        if ph == h and pw == w:
+            return plane
+        return jnp.pad(plane, ((0, h - ph), (0, w - pw)), mode="edge")
+
+    def encode_frame(self, y, u, v, qp: int | None = None,
+                     force_idr: bool = False):
+        from ceracoder_tpu.codec.h264.encoder import EncodedFrame
+        from ceracoder_tpu.codec.h265.rowslice import (
+            entropy_rows, entropy_rows_native)
+        from ceracoder_tpu.codec.h265.syntax import (
+            NAL_IDR_W_RADL, NAL_TRAIL_R, nal_unit)
+
+        np = self._np
+        qp = self.qp if qp is None else qp
+        qp_c = self._chroma_qp(qp)
+        idr = force_idr or self._ref is None or self._poc >= self.gop
+        poc = 0 if idr else self._poc
+        self._poc = 1 if idr else self._poc + 1
+
+        yb = self._pad(y, self.ph, self.pw)[None]
+        ub = self._pad(u, self.ph // 2, self.pw // 2)[None]
+        vb = self._pad(v, self.ph // 2, self.pw // 2)[None]
+        ref = self._ref
+        if ref is None:
+            ref = (jnp.zeros_like(yb), jnp.zeros_like(ub),
+                   jnp.zeros_like(vb))
+        fn = self._fn_i if idr else self._fn_p
+        outs, _nz = fn(yb, ub, vb, *ref, jnp.int32(qp),
+                       jnp.int32(qp_c))
+        self._ref = outs["recon"]
+
+        arrays = {k: np.asarray(outs[k][0]) for k in
+                  ("is_intra", "mode", "mv", "tu_split", "luma_lv",
+                   "cb_lv", "cr_lv")}
+        rbsps = None
+        if self.native_entropy:
+            rbsps = entropy_rows_native(self.params, arrays, qp,
+                                        idr=idr, poc=poc)
+        if rbsps is None:
+            rbsps = entropy_rows(self.params, arrays, qp, idr=idr,
+                                 poc=poc)
+        ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
+        data = b"".join(nal_unit(ntype, r, long_start_code=(i == 0))
+                        for i, r in enumerate(rbsps))
+        return EncodedFrame(data=data, keyframe=idr, qp=qp,
+                            _recon_dev=tuple(r[0]
+                                             for r in outs["recon"]))
+
+    @property
+    def recon(self):
+        if self._ref is None:
+            return None
+        np = self._np
+        ry, ru, rv = (np.asarray(p[0]) for p in self._ref)
+        return (ry[:self.height, :self.width],
+                ru[:self.height // 2, :self.width // 2],
+                rv[:self.height // 2, :self.width // 2])
+
+
+class GopParallelStreamEncoder:
+    """App-facing GOP-parallel encoder: each encode_run_async batch is
+    a closed GOP dispatched round-robin across devices (the PP axis of
+    SURVEY.md §2.7 as a product capability — the app's pipelined loop
+    drains run N while run N+1 computes on the next device). The
+    stream is byte-identical to a single-device encode at the same
+    GOP length because every GOP is closed."""
+
+    bframes = 0
+
+    def __init__(self, width: int, height: int, qp: int = 32,
+                 gop: int = 60, devices=None, **enc_kwargs):
+        import jax as _jax
+
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+
+        self._jax = _jax
+        self.devices = list(devices if devices is not None
+                            else _jax.devices())
+        self.gop = max(1, gop)
+        self.qp = qp
+        self.encoders = [H265DeviceEncoder(width, height, qp=qp,
+                                           gop=self.gop, **enc_kwargs)
+                         for _ in self.devices]
+        self._slot = 0
+
+    def headers(self) -> bytes:
+        return self.encoders[0].headers()
+
+    def resume(self) -> None:
+        for e in self.encoders:
+            e.resume()
+        self._slot = 0
+
+    def encode_run_async(self, frames=None, qp: int | None = None,
+                         force_idr: bool = False, **kw):
+        enc = self.encoders[self._slot]
+        dev = self.devices[self._slot]
+        self._slot = (self._slot + 1) % len(self.devices)
+        enc.resume()                     # closed GOP: fresh chain
+        with self._jax.default_device(dev):
+            return enc.encode_run_async(frames=frames, qp=qp,
+                                        force_idr=True, **kw)
+
+    def encode_frame(self, y, u, v, qp: int | None = None,
+                     force_idr: bool = False):
+        """Per-frame path degenerates to single-device encode."""
+        return self.encoders[0].encode_frame(y, u, v, qp=qp,
+                                             force_idr=force_idr)
