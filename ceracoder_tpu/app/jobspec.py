@@ -48,6 +48,7 @@ class JobSpec:
     codec: str = "h264"
     gop: int = 0          # 0 = 2 s of frames (reference GOP policy)
     run: int = 8          # frames per fused device dispatch (1 = off)
+    overlay: bool = True  # burn the telemetry line into the video
     # [parallel] (SURVEY.md §2.7 axes as product knobs; hevc only):
     bands: int = 1        # CTB-row bands of each frame across devices
     gop_parallel: int = 1  # closed GOPs round-robined across devices
@@ -106,6 +107,8 @@ def parse_jobspec(path: str | Path) -> JobSpec:
                 spec.gop = int(val)
             elif key == "run":
                 spec.run = max(1, int(val))
+            elif key == "overlay":
+                spec.overlay = val.lower() in ("1", "true", "yes", "on")
         elif section == "parallel":
             if key == "bands":
                 spec.bands = max(1, int(val))

@@ -267,6 +267,17 @@ class CeracoderApp:
     def _flag_sighup(self):
         self.state.sighup = True
 
+    def _burn(self, y):
+        """Burn the telemetry line into the picture (the reference's
+        textoverlay element, src/gst/overlay_ui.c:34-48); [encode]
+        overlay = off disables it."""
+        if not self.overlay_line or not self.spec.overlay:
+            return y
+        import numpy as np
+
+        from ceracoder_tpu.app.textoverlay import burn_overlay
+        return burn_overlay(np.asarray(y), self.overlay_line)
+
     def _scene_cut(self, y, threshold: int = 48) -> bool:
         """Mean absolute difference of 8x-downsampled luma between
         consecutive source frames; a jump past the threshold is a cut."""
@@ -500,6 +511,7 @@ class CeracoderApp:
                 self._reload_config()
 
             self.frames_collected += 1
+            y = self._burn(y)
             y, u, v = pad_to_mb(y, u, v)
             qp = self.rate.current_qp
             # scene-cut detection: a cut coded as P is mostly
@@ -563,6 +575,7 @@ class CeracoderApp:
                 self._reload_config()
 
             self.frames_collected += 1
+            y = self._burn(y)
             y, u, v = pad_to_mb(y, u, v)
             cut = self._scene_cut(y)
             if cut:

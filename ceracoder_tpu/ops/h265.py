@@ -385,7 +385,8 @@ def _coarse_search_dev(cur_h, ref_h_pad):
     def one(off_idx, dy, dx):
         sh = jax.lax.dynamic_slice(ref_h_pad, (dy + pad, dx + pad),
                                    (h, w))
-        sad = jnp.abs(cur_h - sh).reshape(nbh, 8, nbw, 8).sum((1, 3))
+        sad = jnp.abs(cur_h - sh).reshape(nbh, 8, nbw, 8).sum(
+            (1, 3), dtype=jnp.int32)
         return (sad << 7) | off_idx                    # sad <= 16320
 
     chunk = 27
@@ -602,9 +603,11 @@ def _motion_luma_dev(cur, ref_pad, pad: int):
     padded by `pad` >= LUMA_SRC_PAD on every side. Returns
     (mv_q (nch, ncw, 2), pred14 blocks (nch, ncw, 16, 16))."""
     h, w = cur.shape
-    cur_h = _down2_dev(cur)
+    # int16 halves the coarse stage's HBM traffic (values <= 255 and
+    # the 8x8 SAD accumulates in int32)
+    cur_h = _down2_dev(cur).astype(jnp.int16)
     ref_ext = ref_pad[pad - 8:pad + h + 8, pad - 8:pad + w + 8]
-    ref_h_pad = _down2_dev(ref_ext)                    # half-res pad 4
+    ref_h_pad = _down2_dev(ref_ext).astype(jnp.int16)  # half-res pad 4
     mvh = _coarse_search_dev(cur_h, ref_h_pad)
     mv0 = jnp.clip(2 * mvh, -(MV_FULL_MAX - 1), MV_FULL_MAX - 1)
 

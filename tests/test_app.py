@@ -302,3 +302,24 @@ sys.exit(app.run())
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         timeout=90, env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert b"stall detected" in p.stderr.lower()
+
+
+def test_overlay_burn_in():
+    # the reference burns the telemetry line into the video
+    # (src/gst/overlay_ui.c); glyphs must land as white-on-dim pixels
+    import numpy as np
+
+    from ceracoder_tpu.app.textoverlay import burn_overlay, render_line
+
+    y = np.full((64, 512), 100, np.uint8)
+    line = "  b:  5000/ 4800 rtt:  35/ 30/ 60 bs:   5/ 50/ 99/200"
+    out = burn_overlay(y, line)
+    assert out.shape == y.shape
+    assert (y == 100).all()                    # input untouched
+    bm = render_line(line)
+    region = out[8:8 + bm.shape[0], 8:8 + min(bm.shape[1], 504)]
+    assert (region[bm[:, :region.shape[1]]] == 235).all()
+    box = region[~bm[:, :region.shape[1]]]
+    assert (box == 100 // 2 + 16).all()
+    # unknown glyphs fall back to blank, never crash
+    assert burn_overlay(y, "~~unknown~~").shape == y.shape

@@ -7,8 +7,6 @@ item 3; SURVEY.md §2.7)."""
 import subprocess
 from pathlib import Path
 
-import numpy as np
-
 from ceracoder_tpu.app.cli import CliOptions
 from ceracoder_tpu.app.main import CeracoderApp
 
