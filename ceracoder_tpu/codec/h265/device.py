@@ -127,9 +127,11 @@ class H265DeviceEncoder:
 
     # -- B-frame (IBPBP) entry points -----------------------------------
     def push_frame(self, y, u, v, qp: int | None = None,
-                   force_idr: bool = False):
+                   force_idr: bool = False, allow_b: bool = True):
         """Feed one display-order frame (bframes == 1); returns
-        (data, poc, kind, display_recon_dev) tuples in coding order."""
+        (data, poc, kind, display_recon_dev) tuples in coding order.
+        allow_b=False (a lookahead hint: erratic motion) codes the
+        frame as P instead of holding it as a B candidate."""
         qp = self.qp if qp is None else qp
         idr = force_idr or self._ref is None or self._poc >= self.gop
         out = []
@@ -139,7 +141,8 @@ class H265DeviceEncoder:
                                          force_idr=True).result()
             out.append((fr.data, 0, "I", self._ref))
             return out
-        if self.bframes and self._pending is None:
+        if (self.bframes and self._pending is None and allow_b
+                and self._poc <= self.gop - 2):
             self._pending = ((y, u, v), self._poc, qp)
             self._poc += 1
             return out

@@ -931,10 +931,12 @@ class H265RowEncoder:
         return data, kind == "I"
 
     def push_frame(self, y, u, v, qp: int | None = None,
-                   force_idr: bool = False):
+                   force_idr: bool = False, allow_b: bool = True):
         """Feed one display-order frame; returns (data, poc, kind,
         display_recon) tuples in coding order (empty while a B
-        candidate waits for its forward reference)."""
+        candidate waits for its forward reference). allow_b=False (a
+        lookahead hint) codes the frame as P instead of holding it as
+        a B candidate."""
         from ceracoder_tpu.codec.h265.intra import chroma_qp
 
         if qp is not None:
@@ -955,7 +957,8 @@ class H265RowEncoder:
                         self.recon))
             return out
 
-        if self.bframes and self._pending is None:
+        if (self.bframes and self._pending is None and allow_b
+                and self._poc <= self.gop - 2):
             self._pending = (planes, self._poc, self.qp, self.qp_c)
             self._poc += 1
             return out

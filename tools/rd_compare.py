@@ -17,13 +17,18 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-import jax  # noqa: E402
+if "--device" in sys.argv:
+    # chip path: leave the platform alone (axon TPU when available)
+    from ceracoder_tpu.utils.jaxenv import setup_jax
+    setup_jax()
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -55,10 +60,29 @@ def ours_h264(frames, w, h, qp, gop):
     return bs
 
 
-def ours_hevc(frames, w, h, qp, gop, **opts):
+def ours_hevc(frames, w, h, qp, gop, device=False, **opts):
     """Full HEVC path: row-slice I+P GOPs, quarter-pel motion,
     deblocking, native entropy (the production device pipeline's
-    executable spec)."""
+    executable spec). device=True drives H265DeviceEncoder instead
+    (same bitstream; the fast path for 1080p sweeps on the chip)."""
+    if device:
+        from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
+        enc = H265DeviceEncoder(w, h, qp=qp, gop=gop,
+                                bframes=opts.get("bframes", 0),
+                                sao=opts.get("sao", False),
+                                tu_split=opts.get("tu_split", False))
+        bs = enc.headers()
+        if opts.get("bframes"):
+            for f in frames:
+                for data, _, _, _ in enc.push_frame(*f):
+                    bs += data
+            for data, _, _, _ in enc.flush():
+                bs += data
+        else:
+            pend = enc.encode_run_async(frames=list(frames))
+            for p in pend:
+                bs += p.result().data
+        return bs
     from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
     enc = H265RowEncoder(w, h, qp=qp, gop=gop, **opts)
     bs = enc.headers()
@@ -96,6 +120,90 @@ def interp_psnr(curve, kbps):
     xs = np.log([c[0] for c in curve])
     ys = [c[1] for c in curve]
     return float(np.interp(np.log(kbps), xs, ys))
+
+
+def _bandlimited(w, h, seed, sigma=2.5, lo=48, span=160):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, (h, w))
+    k = np.exp(-0.5 * (np.arange(-7, 8) / sigma) ** 2)
+    k /= k.sum()
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), ax, base)
+    base = (base - base.min()) / (base.max() - base.min())
+    return base * span + lo
+
+
+def synth_detail_clip(w, h, n_frames, seed=13):
+    """High-spatial-detail scene under a slow pan: fine texture
+    (sigma 1.2 band-limit) + a grid overlay, 0.5 px/frame pan. The
+    intra-tool / residual-coding stress case."""
+    big_h, big_w = h + 64, w + 64
+    tex = _bandlimited(big_w, big_h, seed, sigma=1.2)
+    yy, xx = np.mgrid[0:big_h, 0:big_w]
+    tex = np.where((xx % 24 < 2) | (yy % 24 < 2), tex * 0.5 + 96, tex)
+    frames = []
+    for i in range(n_frames):
+        x0 = int(0.5 * i)
+        y_p = tex[8:8 + h, x0:x0 + w].clip(0, 255).astype(np.uint8)
+        u_p = (tex[4:4 + h // 2, x0 // 2:x0 // 2 + w // 2] * 0.25
+               + 96).clip(0, 255).astype(np.uint8)
+        v_p = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y_p, u_p, v_p))
+    return frames
+
+
+def synth_cuts_clip(w, h, n_frames, seed=17):
+    """Two scenes with a hard cut at the midpoint and faster object
+    motion: exercises IDR placement / scene-cut handling and larger
+    motion vectors."""
+    big_h, big_w = h + 128, w + 128
+    sc1 = _bandlimited(big_w, big_h, seed)
+    sc2 = _bandlimited(big_w, big_h, seed + 1, sigma=1.8, lo=32)
+    frames = []
+    for i in range(n_frames):
+        scene = sc1 if i < n_frames // 2 else sc2
+        j = i if i < n_frames // 2 else i - n_frames // 2
+        x0, y0 = int(3 * j), int(1 * j)
+        y_f = scene[y0:y0 + h, x0:x0 + w].copy()
+        bx = (10 + 7 * j) % (w - 48)
+        by = (h // 4 + 3 * j) % (h - 40)
+        y_f[by:by + 32, bx:bx + 40] = 20 if i < n_frames // 2 else 230
+        y_p = y_f.clip(0, 255).astype(np.uint8)
+        u_p = (scene[y0 // 2:y0 // 2 + h // 2,
+                     x0 // 2:x0 // 2 + w // 2] * 0.3
+               + 90).clip(0, 255).astype(np.uint8)
+        v_p = np.full((h // 2, w // 2), 132, np.uint8)
+        frames.append((y_p, u_p, v_p))
+    return frames
+
+
+CLIPS = {"pan": lambda w, h, n: synth_motion_clip(w, h, n),
+         "detail": synth_detail_clip,
+         "cuts": synth_cuts_clip}
+
+
+def bd_rate(ref_curve, test_curve) -> float:
+    """Bjontegaard rate delta (%): average bitrate change of `test`
+    vs `ref` at equal PSNR over the overlapping quality interval
+    (cubic fit of log-rate as a function of PSNR). Negative = test
+    needs fewer bits."""
+    def fit(curve):
+        c = sorted(curve)
+        r = np.log([p[0] for p in c])
+        q = [p[1] for p in c]
+        return np.polyfit(q, r, min(3, len(c) - 1)), min(q), max(q)
+
+    pr, lo_r, hi_r = fit(ref_curve)
+    pt, lo_t, hi_t = fit(test_curve)
+    lo, hi = max(lo_r, lo_t), min(hi_r, hi_t)
+    if hi <= lo:
+        return float("nan")
+    ir = np.polyint(pr)
+    it = np.polyint(pt)
+    avg = ((np.polyval(it, hi) - np.polyval(it, lo))
+           - (np.polyval(ir, hi) - np.polyval(ir, lo))) / (hi - lo)
+    return float((np.exp(avg) - 1) * 100)
 
 
 def synth_motion_clip(w, h, n_frames, seed=11):
@@ -151,13 +259,18 @@ def main():
     ap.add_argument("--tu-split", action="store_true")
     ap.add_argument("--bframes", type=int, default=0)
     ap.add_argument("--sao", action="store_true")
+    ap.add_argument("--clip", default="pan", choices=sorted(CLIPS),
+                    help="synthetic content profile")
+    ap.add_argument("--device", action="store_true",
+                    help="drive H265DeviceEncoder (chip path) for the "
+                    "HEVC sweep — required for 1080p-scale runs")
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     seconds = args.frames / args.fps
 
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="rd_"))
-    frames = synth_motion_clip(w, h, args.frames)
+    frames = CLIPS[args.clip](w, h, args.frames)
     yuv = tmp / "src.yuv"
     with open(yuv, "wb") as f:
         for (y, u, v) in frames:
@@ -165,10 +278,10 @@ def main():
             f.write(u.tobytes())
             f.write(v.tobytes())
 
-    print(f"clip: {w}x{h}p{args.fps}, {args.frames} frames, "
-          f"gop {args.gop}")
+    print(f"clip: {args.clip} {w}x{h}p{args.fps}, {args.frames} "
+          f"frames, gop {args.gop}")
     hevc_opts = dict(tu_split=args.tu_split, bframes=args.bframes,
-                     sao=args.sao)
+                     sao=args.sao, device=args.device)
     anchor_rates = None
     if not args.no_h264:
         ours_curve = []
@@ -219,6 +332,9 @@ def main():
                   f"{ref:5.2f} -> delta {ps - ref:+.2f} dB")
         print(f"mean HEVC PSNR delta vs x264-medium: "
               f"{np.mean(deltas):+.2f} dB")
+        bd = bd_rate(x264_curve, hevc_curve)
+        print(f"BD-rate vs x264-medium: {bd:+.1f}% "
+              f"(negative = we need fewer bits at equal PSNR)")
     return 0
 
 
