@@ -278,16 +278,14 @@ class CeracoderApp:
         from ceracoder_tpu.app.textoverlay import burn_overlay
         return burn_overlay(np.asarray(y), self.overlay_line)
 
-    def _scene_cut(self, y, threshold: int = 48) -> bool:
-        """Mean absolute difference of 8x-downsampled luma between
-        consecutive source frames; a jump past the threshold is a cut."""
-        import numpy as np
-        small = np.asarray(y)[::8, ::8].astype(np.int32)
-        prev = getattr(self, "_prev_small", None)
-        self._prev_small = small
-        if prev is None or prev.shape != small.shape:
-            return False
-        return bool(np.abs(small - prev).mean() > threshold)
+    def _scene_cut(self, y) -> bool:
+        """Relative cost-spike cut detection on 4x4-pooled luma (the
+        lookahead's detector in immediate mode)."""
+        from ceracoder_tpu.control.lookahead import CutDetector
+        det = getattr(self, "_cut_det", None)
+        if det is None:
+            det = self._cut_det = CutDetector()
+        return det.feed(y)[1]
 
     def stop(self):
         if not self.state.quit:

@@ -60,7 +60,8 @@ def ours_h264(frames, w, h, qp, gop):
     return bs
 
 
-def ours_hevc(frames, w, h, qp, gop, device=False, **opts):
+def ours_hevc(frames, w, h, qp, gop, device=False,
+              lookahead=False, **opts):
     """Full HEVC path: row-slice I+P GOPs, quarter-pel motion,
     deblocking, native entropy (the production device pipeline's
     executable spec). device=True drives H265DeviceEncoder instead
@@ -72,31 +73,55 @@ def ours_hevc(frames, w, h, qp, gop, device=False, **opts):
                                 sao=opts.get("sao", False),
                                 tu_split=opts.get("tu_split", False))
         bs = enc.headers()
+        plans = _plan(frames, lookahead, opts.get("bframes", 0))
         if opts.get("bframes"):
-            for f in frames:
-                for data, _, _, _ in enc.push_frame(*f):
+            for f, p in zip(frames, plans):
+                for data, _, _, _ in enc.push_frame(
+                        *f, force_idr=p.force_idr, allow_b=p.allow_b):
                     bs += data
             for data, _, _, _ in enc.flush():
                 bs += data
         else:
-            pend = enc.encode_run_async(frames=list(frames))
-            for p in pend:
-                bs += p.result().data
+            cuts = [i for i, p in enumerate(plans) if p.force_idr]
+            start = 0
+            for stop in cuts + [len(frames)]:
+                if stop > start:
+                    pend = enc.encode_run_async(
+                        frames=list(frames[start:stop]),
+                        force_idr=(start in cuts))
+                    for p in pend:
+                        bs += p.result().data
+                start = stop
         return bs
     from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
     enc = H265RowEncoder(w, h, qp=qp, gop=gop, **opts)
     bs = enc.headers()
+    plans = _plan(frames, lookahead, opts.get("bframes", 0))
     if opts.get("bframes"):
-        for f in frames:
-            for data, _, _, _ in enc.push_frame(*f):
+        for f, p in zip(frames, plans):
+            for data, _, _, _ in enc.push_frame(
+                    *f, force_idr=p.force_idr, allow_b=p.allow_b):
                 bs += data
         for data, _, _, _ in enc.flush():
             bs += data
     else:
-        for f in frames:
-            data, _ = enc.encode_frame(*f)
+        for f, p in zip(frames, plans):
+            data, _ = enc.encode_frame(*f, force_idr=p.force_idr)
             bs += data
     return bs
+
+
+def _plan(frames, lookahead, bframes):
+    """Per-frame lookahead plans (no-op plans when disabled)."""
+    from ceracoder_tpu.control.lookahead import Lookahead, Plan
+    if not lookahead:
+        return [Plan(frame=f, allow_b=bool(bframes)) for f in frames]
+    la = Lookahead(depth=3, bframes=bframes)
+    plans = []
+    for f in frames:
+        plans.extend(la.push(f))
+    plans.extend(la.flush())
+    return plans
 
 
 def x264(yuv_path, w, h, fps, out, preset, rate):
@@ -264,6 +289,9 @@ def main():
     ap.add_argument("--device", action="store_true",
                     help="drive H265DeviceEncoder (chip path) for the "
                     "HEVC sweep — required for 1080p-scale runs")
+    ap.add_argument("--lookahead", action="store_true",
+                    help="scene-cut IDRs + adaptive B from the "
+                    "lookahead window")
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     seconds = args.frames / args.fps
@@ -281,7 +309,8 @@ def main():
     print(f"clip: {args.clip} {w}x{h}p{args.fps}, {args.frames} "
           f"frames, gop {args.gop}")
     hevc_opts = dict(tu_split=args.tu_split, bframes=args.bframes,
-                     sao=args.sao, device=args.device)
+                     sao=args.sao, device=args.device,
+                     lookahead=args.lookahead)
     anchor_rates = None
     if not args.no_h264:
         ours_curve = []
