@@ -187,6 +187,28 @@ def _code_inter_tus_dev(sy, su, sv, py, pu, pv, qp, qp_c, lam,
 # intra prediction from a left column (row-slice reference reduction)
 # ---------------------------------------------------------------------------
 
+_ANG_MATS: dict = {}
+
+
+def _angular_matrix(n: int, modes):
+    """Static (len(modes), 2n+1, n*n) f32 weights: output pixel (y,x)
+    of angle `a` is (32-fact)*ref[y+idx] + fact*ref[y+idx+1] with
+    idx = ((x+1)*a) >> 5, fact = ((x+1)*a) & 31 (spec 8.4.4.2.6)."""
+    key = (n, tuple(modes))
+    if key not in _ANG_MATS:
+        w = np.zeros((len(modes), 2 * n + 1, n * n), np.float32)
+        for mi, a in enumerate(modes):
+            for x in range(n):
+                idx = ((x + 1) * a) >> 5
+                fact = ((x + 1) * a) & 31
+                for y in range(n):
+                    p = y * n + x
+                    w[mi, y + idx, p] += 32 - fact
+                    w[mi, y + idx + 1, p] += fact
+        _ANG_MATS[key] = w          # numpy: a jnp constant cached
+    return jnp.asarray(_ANG_MATS[key])  # here would leak tracers
+
+
 def _intra_preds(left, n: int, luma: bool):
     """All 4 candidate predictions from the left recon column.
 
@@ -246,23 +268,26 @@ def _intra_preds(left, n: int, luma: bool):
     # angular 2..9 (spec 8.4.4.2.6, horizontal class: only the left
     # reference participates). Smoothing (8.4.4.2.3): luma 16x16
     # filters modes 2..8 (minDist > 1); mode 9 (minDist 1) does not;
-    # chroma never.
-    xs_i = jnp.arange(n, dtype=jnp.int32)
-    ys_i = jnp.arange(n, dtype=jnp.int32)
+    # chroma never. Each angular pixel is a static 2-tap of the
+    # reference column, so the whole group is one MXU matmul against
+    # a precomputed weight matrix (per-element indexing here cost
+    # ~3.4 ms/frame inside the column scan).
+    if luma and n >= 8:
+        groups = (( _ANGLES[:7], fl), (_ANGLES[7:], left2))
+    else:
+        groups = ((_ANGLES, left2),)
     angulars = []
-    for ai, a in enumerate(_ANGLES):
-        mode_num = 2 + ai
-        use_smooth = luma and n >= 8 and mode_num <= 8
-        base_ref = fl if use_smooth else left2
+    for modes, base_ref in groups:
+        wmat = _angular_matrix(n, modes)
         refl = jnp.concatenate([base_ref, base_ref[:, -1:]], axis=1)
-        idx = ((xs_i + 1) * a) >> 5
-        fact = ((xs_i + 1) * a) & 31
-        i0 = ys_i[:, None] + idx[None, :]
-        pred = ((32 - fact)[None, None, :] * refl[:, i0]
-                + fact[None, None, :] * refl[:, i0 + 1] + 16) >> 5
-        angulars.append(pred)
+        acc = jnp.einsum("rj,mjp->rmp", refl.astype(jnp.float32), wmat,
+                         preferred_element_type=jnp.float32)
+        pred = (acc.astype(jnp.int32) + 16) >> 5
+        angulars.append(pred.reshape(r, len(modes), n, n))
+    angulars = jnp.concatenate(angulars, axis=1)
 
-    return jnp.stack([planar, dcp, hor, ver, *angulars], axis=1)
+    return jnp.concatenate(
+        [jnp.stack([planar, dcp, hor, ver], axis=1), angulars], axis=1)
 
 
 # ---------------------------------------------------------------------------
