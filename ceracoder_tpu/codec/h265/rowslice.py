@@ -217,6 +217,117 @@ def _code_tu_pred(src, recp, pred, x0, y0, qp, intra=True):
     return cbf, coef.astype(np.int32)
 
 
+def _inter_tail_rows(y, u, v, pred_y_all, pred_u_all, pred_v_all,
+                     qp: int, qp_c: int, tu_split: bool):
+    """Shared P/B tail (numpy twin of ops/h265._inter_frame_tail):
+    inter-code every CTB first, then a parallelizable intra fallback
+    that is only allowed when the LEFT neighbor codes inter — so each
+    intra CTB's left reference column is the left neighbor's inter
+    reconstruction, independent of other decisions. The alternation
+    rule is use[c] = want[c] and not use[c-1]."""
+    h, w = y.shape
+    nch, ncw = h // CTB, w // CTB
+    nc = CTB // 2
+    from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
+    lam = SAO_LAMBDA[min(max(qp, 0), 69)]
+
+    rec_y = np.zeros_like(y)
+    rec_u = np.zeros_like(u)
+    rec_v = np.zeros_like(v)
+    mode = np.zeros((nch, ncw), np.int32)
+    tsplit = np.zeros((nch, ncw), bool)
+    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
+    cb_lv = np.zeros((nch, ncw, nc, nc), np.int32)
+    cr_lv = np.zeros((nch, ncw, nc, nc), np.int32)
+    inter_sads = np.zeros((nch, ncw), np.int64)
+
+    # pass 1: inter-code every CTB (rec planes = inter recon)
+    for cy in range(nch):
+        for cx in range(ncw):
+            x0, y0 = cx * CTB, cy * CTB
+            cx0, cy0 = x0 // 2, y0 // 2
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
+            inter_sads[cy, cx] = int(satd8_block(src - pred_y))
+            pred_u = pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc]
+            pred_v = pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc]
+            src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
+            src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
+            if tu_split:
+                (sp, luma_lv[cy, cx], cb_lv[cy, cx],
+                 cr_lv[cy, cx], ry, ru, rv) = _code_inter_tus(
+                    src, pred_y, src_u, pred_u, src_v, pred_v,
+                    qp, qp_c, lam)
+                tsplit[cy, cx] = sp
+                rec_y[y0:y0 + CTB, x0:x0 + CTB] = ry
+                rec_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru
+                rec_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv
+            else:
+                _, luma_lv[cy, cx] = _code_tu_pred(
+                    src, rec_y, pred_y, x0, y0, qp, intra=False)
+                _, cb_lv[cy, cx] = _code_tu_pred(
+                    src_u, rec_u, pred_u, cx0, cy0, qp_c,
+                    intra=False)
+                _, cr_lv[cy, cx] = _code_tu_pred(
+                    src_v, rec_v, pred_v, cx0, cy0, qp_c,
+                    intra=False)
+
+    # pass 2: intra candidates against the inter recon planes +
+    # left-must-be-inter alternation rule
+    irec_y = rec_y.copy()
+    irec_u = rec_u.copy()
+    irec_v = rec_v.copy()
+    want = np.zeros((nch, ncw), bool)
+    cand = {}
+    for cy in range(nch):
+        for cx in range(ncw):
+            x0, y0 = cx * CTB, cy * CTB
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            lref = _ref_samples_row(irec_y, x0, y0, CTB)
+            ibest, ipred, isad = None, None, 1 << 30
+            for m in I.CAND_MODES:
+                pr = I.predict(m, *lref, CTB, 0)
+                sad = int(satd8_block(src - pr))
+                if sad < isad:
+                    ibest, ipred, isad = m, pr, sad
+            cand[cy, cx] = (ibest, ipred)
+            want[cy, cx] = (isad * INTRA_BIAS_DEN
+                            < inter_sads[cy, cx] * INTRA_BIAS_NUM)
+    is_intra = np.zeros((nch, ncw), bool)
+    for cy in range(nch):
+        for cx in range(ncw):
+            is_intra[cy, cx] = want[cy, cx] and not (
+                cx > 0 and is_intra[cy, cx - 1])
+
+    # pass 3: overwrite the chosen intra CTBs (their left neighbor is
+    # inter, so prediction references from the inter planes equal the
+    # decoder's actual neighbor recon)
+    for cy in range(nch):
+        for cx in range(ncw):
+            if not is_intra[cy, cx]:
+                continue
+            x0, y0 = cx * CTB, cy * CTB
+            cx0, cy0 = x0 // 2, y0 // 2
+            ibest, ipred = cand[cy, cx]
+            mode[cy, cx] = ibest
+            tsplit[cy, cx] = False
+            src = y[y0:y0 + CTB, x0:x0 + CTB]
+            _, luma_lv[cy, cx] = _code_tu_pred(
+                src, rec_y, ipred, x0, y0, qp)
+            for plane, irecp, recp, out in (
+                    (u, irec_u, rec_u, cb_lv),
+                    (v, irec_v, rec_v, cr_lv)):
+                cref = _ref_samples_row(irecp, cx0, cy0, nc)
+                pr = I.predict(ibest, *cref, nc, 1)
+                src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
+                _, out[cy, cx] = _code_tu_pred(
+                    src_c, recp, pr, cx0, cy0, qp_c)
+
+    arrays = {"is_intra": is_intra, "mode": mode, "tu_split": tsplit,
+              "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
+    return arrays, (rec_y, rec_u, rec_v)
+
+
 def compute_p_rows(y, u, v, ref, qp: int, qp_c: int,
                    tu_split: bool = False):
     """Numpy reference of the device P op. ref = (y, u, v) padded
@@ -230,19 +341,6 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int,
     v = np.asarray(v).astype(np.int32)
     ref_y, ref_u, ref_v = ref
     h, w = y.shape
-    nch, ncw = h // CTB, w // CTB
-    rec_y = np.zeros_like(y)
-    rec_u = np.zeros_like(u)
-    rec_v = np.zeros_like(v)
-    is_intra = np.zeros((nch, ncw), bool)
-    mode = np.zeros((nch, ncw), np.int32)
-    mv = np.zeros((nch, ncw, 2), np.int32)
-    tsplit = np.zeros((nch, ncw), bool)
-    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
-    cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
-    cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
-    from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
-    lam = SAO_LAMBDA[min(max(qp, 0), 69)]
 
     mvs = motion_search(y, ref_y)
     planes = luma_qpel_planes(ref_y)
@@ -251,63 +349,10 @@ def compute_p_rows(y, u, v, ref, qp: int, qp_c: int,
     pred_u_all = mc_chroma_qpel(ref_u, mvs_q, h // 2, w // 2)
     pred_v_all = mc_chroma_qpel(ref_v, mvs_q, h // 2, w // 2)
 
-    for cy in range(nch):
-        for cx in range(ncw):
-            x0, y0 = cx * CTB, cy * CTB
-            src = y[y0:y0 + CTB, x0:x0 + CTB]
-            mv_q = (int(mvs_q[cy, cx, 0]), int(mvs_q[cy, cx, 1]))
-            pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
-            inter_sad = int(satd8_block(src - pred_y))
-            lref = _ref_samples_row(rec_y, x0, y0, CTB)
-            ibest, ipred, isad = None, None, 1 << 30
-            for m in I.CAND_MODES:
-                pr = I.predict(m, *lref, CTB, 0)
-                sad = int(satd8_block(src - pr))
-                if sad < isad:
-                    ibest, ipred, isad = m, pr, sad
-            nc = CTB // 2
-            cx0, cy0 = x0 // 2, y0 // 2
-            if isad * INTRA_BIAS_DEN < inter_sad * INTRA_BIAS_NUM:
-                is_intra[cy, cx] = True
-                mode[cy, cx] = ibest
-                _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, ipred, x0, y0, qp)
-                for plane, recp, out in ((u, rec_u, cb_lv),
-                                         (v, rec_v, cr_lv)):
-                    cref = _ref_samples_row(recp, cx0, cy0, nc)
-                    pr = I.predict(ibest, *cref, nc, 1)
-                    src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
-                    _, out[cy, cx] = _code_tu_pred(
-                        src_c, recp, pr, cx0, cy0, qp_c)
-            else:
-                mv[cy, cx] = mv_q
-                pred_u = pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc]
-                pred_v = pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc]
-                src_u = u[cy0:cy0 + nc, cx0:cx0 + nc]
-                src_v = v[cy0:cy0 + nc, cx0:cx0 + nc]
-                if tu_split:
-                    (sp, luma_lv[cy, cx], cb_lv[cy, cx],
-                     cr_lv[cy, cx], ry, ru, rv) = _code_inter_tus(
-                        src, pred_y, src_u, pred_u, src_v, pred_v,
-                        qp, qp_c, lam)
-                    tsplit[cy, cx] = sp
-                    rec_y[y0:y0 + CTB, x0:x0 + CTB] = ry
-                    rec_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru
-                    rec_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv
-                else:
-                    _, luma_lv[cy, cx] = _code_tu_pred(
-                        src, rec_y, pred_y, x0, y0, qp, intra=False)
-                    _, cb_lv[cy, cx] = _code_tu_pred(
-                        src_u, rec_u, pred_u, cx0, cy0, qp_c,
-                        intra=False)
-                    _, cr_lv[cy, cx] = _code_tu_pred(
-                        src_v, rec_v, pred_v, cx0, cy0, qp_c,
-                        intra=False)
-
-    arrays = {"is_intra": is_intra, "mode": mode, "mv": mv,
-              "tu_split": tsplit,
-              "luma_lv": luma_lv, "cb_lv": cb_lv, "cr_lv": cr_lv}
-    return arrays, (rec_y, rec_u, rec_v)
+    arrays, rec = _inter_tail_rows(y, u, v, pred_y_all, pred_u_all,
+                                   pred_v_all, qp, qp_c, tu_split)
+    arrays["mv"] = np.where(arrays["is_intra"][..., None], 0, mvs_q)
+    return arrays, rec
 
 
 def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int,
@@ -320,20 +365,6 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int,
     u = np.asarray(u).astype(np.int32)
     v = np.asarray(v).astype(np.int32)
     h, w = y.shape
-    nch, ncw = h // CTB, w // CTB
-    rec_y = np.zeros_like(y)
-    rec_u = np.zeros_like(u)
-    rec_v = np.zeros_like(v)
-    is_intra = np.zeros((nch, ncw), bool)
-    mode = np.zeros((nch, ncw), np.int32)
-    mv0 = np.zeros((nch, ncw, 2), np.int32)
-    mv1 = np.zeros((nch, ncw, 2), np.int32)
-    tsplit = np.zeros((nch, ncw), bool)
-    from ceracoder_tpu.codec.h265.sao import SAO_LAMBDA
-    lam = SAO_LAMBDA[min(max(qp, 0), 69)]
-    luma_lv = np.zeros((nch, ncw, CTB, CTB), np.int32)
-    cb_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
-    cr_lv = np.zeros((nch, ncw, CTB // 2, CTB // 2), np.int32)
 
     p14 = [luma_qpel_planes14(r[0]) for r in (ref0, ref1)]
     mvq = []
@@ -351,65 +382,12 @@ def compute_b_rows(y, u, v, ref0, ref1, qp: int, qp_c: int,
         mc_chroma_qpel14(ref0[2], mvq[0], hc, wc),
         mc_chroma_qpel14(ref1[2], mvq[1], hc, wc))
 
-    for cy in range(nch):
-        for cx in range(ncw):
-            x0, y0 = cx * CTB, cy * CTB
-            src = y[y0:y0 + CTB, x0:x0 + CTB]
-            pred_y = pred_y_all[y0:y0 + CTB, x0:x0 + CTB]
-            inter_sad = int(satd8_block(src - pred_y))
-            lref = _ref_samples_row(rec_y, x0, y0, CTB)
-            ibest, ipred, isad = None, None, 1 << 30
-            for m in I.CAND_MODES:
-                pr = I.predict(m, *lref, CTB, 0)
-                sad = int(satd8_block(src - pr))
-                if sad < isad:
-                    ibest, ipred, isad = m, pr, sad
-            nc = CTB // 2
-            cx0, cy0 = x0 // 2, y0 // 2
-            if isad * INTRA_BIAS_DEN < inter_sad * INTRA_BIAS_NUM:
-                is_intra[cy, cx] = True
-                mode[cy, cx] = ibest
-                _, luma_lv[cy, cx] = _code_tu_pred(
-                    src, rec_y, ipred, x0, y0, qp)
-                for plane, recp, out in ((u, rec_u, cb_lv),
-                                         (v, rec_v, cr_lv)):
-                    cref = _ref_samples_row(recp, cx0, cy0, nc)
-                    pr = I.predict(ibest, *cref, nc, 1)
-                    src_c = plane[cy0:cy0 + nc, cx0:cx0 + nc]
-                    _, out[cy, cx] = _code_tu_pred(
-                        src_c, recp, pr, cx0, cy0, qp_c)
-            else:
-                mv0[cy, cx] = mvq[0][cy, cx]
-                mv1[cy, cx] = mvq[1][cy, cx]
-                if tu_split:
-                    (sp, luma_lv[cy, cx], cb_lv[cy, cx],
-                     cr_lv[cy, cx], ry, ru, rv) = _code_inter_tus(
-                        src, pred_y,
-                        u[cy0:cy0 + nc, cx0:cx0 + nc],
-                        pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                        v[cy0:cy0 + nc, cx0:cx0 + nc],
-                        pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                        qp, qp_c, lam)
-                    tsplit[cy, cx] = sp
-                    rec_y[y0:y0 + CTB, x0:x0 + CTB] = ry
-                    rec_u[cy0:cy0 + nc, cx0:cx0 + nc] = ru
-                    rec_v[cy0:cy0 + nc, cx0:cx0 + nc] = rv
-                else:
-                    _, luma_lv[cy, cx] = _code_tu_pred(
-                        src, rec_y, pred_y, x0, y0, qp, intra=False)
-                    _, cb_lv[cy, cx] = _code_tu_pred(
-                        u[cy0:cy0 + nc, cx0:cx0 + nc], rec_u,
-                        pred_u_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                        cx0, cy0, qp_c, intra=False)
-                    _, cr_lv[cy, cx] = _code_tu_pred(
-                        v[cy0:cy0 + nc, cx0:cx0 + nc], rec_v,
-                        pred_v_all[cy0:cy0 + nc, cx0:cx0 + nc],
-                        cx0, cy0, qp_c, intra=False)
-
-    arrays = {"is_intra": is_intra, "mode": mode, "mv": mv0,
-              "mv1": mv1, "tu_split": tsplit, "luma_lv": luma_lv,
-              "cb_lv": cb_lv, "cr_lv": cr_lv}
-    return arrays, (rec_y, rec_u, rec_v)
+    arrays, rec = _inter_tail_rows(y, u, v, pred_y_all, pred_u_all,
+                                   pred_v_all, qp, qp_c, tu_split)
+    off = arrays["is_intra"][..., None]
+    arrays["mv"] = np.where(off, 0, mvq[0])
+    arrays["mv1"] = np.where(off, 0, mvq[1])
+    return arrays, rec
 
 
 def densify_levels(counts: np.ndarray, pos: np.ndarray,

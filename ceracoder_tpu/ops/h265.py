@@ -1296,8 +1296,18 @@ def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c,
 
 def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
                       tu_split: bool = False):
-    """Shared P/B tail: inter residuals, column scan with per-CTB
-    intra fallback against the given inter prediction, recon."""
+    """Shared P/B tail: inter residuals + FULLY PARALLEL per-CTB
+    intra fallback.
+
+    Intra fallback is only allowed when the left neighbor codes
+    inter (an encoder-side choice — the bitstream stays legal). That
+    makes every intra CTB's left reference column equal to the left
+    neighbor's INTER reconstruction, which is carry-independent: the
+    whole frame's intra candidates, the mode decision, and the
+    selection run as one batched computation instead of the previous
+    sequential lax.scan over CTB columns (~7 ms/frame at 1080p). The
+    alternation rule itself (use[c] = want[c] & ~use[c-1]) collapses
+    to run-start parity, computed with one cummax."""
     h, w = y.shape
     nch, ncw = h // CTB, w // CTB
     t16 = jnp.asarray(T16, jnp.int32)
@@ -1305,7 +1315,7 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
 
     inter_sad = _satd8_frame(y - pred_y)
 
-    # inter residuals (carry-independent: outside the scan)
+    # inter residuals for every CTB
     if tu_split:
         t4 = jnp.asarray(T4, jnp.int32)
         lam = jnp.asarray(SAO_LAMBDA, jnp.int32)[jnp.clip(qp, 0, 69)]
@@ -1327,60 +1337,61 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
                                  _col_view(pred_v, CTB // 2), qp_c, t8,
                                  3, intra=False)
 
-    ys = _col_view(y, CTB)
-    us = _col_view(u, CTB // 2)
-    vs = _col_view(v, CTB // 2)
-    isad_cols = inter_sad.T                           # (ncw, nch)
+    r = ncw * nch
+    sy = _col_view(y, CTB).reshape(r, CTB, CTB)
+    su = _col_view(u, CTB // 2).reshape(r, CTB // 2, CTB // 2)
+    sv = _col_view(v, CTB // 2).reshape(r, CTB // 2, CTB // 2)
 
-    def body(carry, xs):
-        ly, lu, lv = carry
-        sy, su, sv, int_lvs, int_recs, isad = xs
+    # left reference column per CTB = left neighbor's inter recon
+    # right column (column 0: the spec's no-neighbor 128 substitution)
+    def left_cols(irec, n):
+        first = jnp.full((1, nch, n), 128, jnp.int32)
+        return jnp.concatenate([first, irec[:-1, :, :, -1]],
+                               axis=0).reshape(r, n)
 
-        preds = _intra_preds(ly, CTB, luma=True)
-        sads = _satd8_blocks(sy[:, None] - preds)
-        midx = jnp.argmin(sads, axis=1)
-        intra_sad = jnp.min(sads, axis=1)
-        use_intra = intra_sad * 4 < isad * 3          # (R,)
+    preds = _intra_preds(left_cols(irec_y, CTB), CTB, luma=True)
+    sads = _satd8_blocks(sy[:, None] - preds)          # (R, M)
+    midx = jnp.argmin(sads, axis=1)
+    intra_sad = jnp.min(sads, axis=1)
+    want = (intra_sad * 4
+            < inter_sad.T.reshape(r) * 3).reshape(ncw, nch)
 
-        best = jnp.take_along_axis(
-            preds, midx[:, None, None, None], axis=1)[:, 0]
-        alv_y, arec_y = _code_tu(sy, best, qp, t16, 4)
-        pu = _intra_preds(lu, CTB // 2, luma=False)
-        pv = _intra_preds(lv, CTB // 2, luma=False)
-        pu = jnp.take_along_axis(pu, midx[:, None, None, None],
-                                 axis=1)[:, 0]
-        pv = jnp.take_along_axis(pv, midx[:, None, None, None],
-                                 axis=1)[:, 0]
-        alv_u, arec_u = _code_tu(su, pu, qp_c, t8, 3)
-        alv_v, arec_v = _code_tu(sv, pv, qp_c, t8, 3)
+    # use[c] = want[c] & ~use[c-1]: within a run of want, alternation
+    # starts at the run head => parity of (c - run_start)
+    cidx = jnp.arange(ncw, dtype=jnp.int32)[:, None]
+    last0 = jax.lax.cummax(jnp.where(want, -1, cidx), axis=0)
+    use_cols = want & (((cidx - last0 - 1) & 1) == 0)  # (ncw, nch)
+    use = use_cols.reshape(r)
 
-        m = use_intra[:, None, None]
-        lv_y = jnp.where(m, alv_y, int_lvs[0])
-        lv_u = jnp.where(m, alv_u, int_lvs[1])
-        lv_v = jnp.where(m, alv_v, int_lvs[2])
-        rec_y = jnp.where(m, arec_y, int_recs[0])
-        rec_u = jnp.where(m, arec_u, int_recs[1])
-        rec_v = jnp.where(m, arec_v, int_recs[2])
-        mode = _MODES[midx]
+    best = jnp.take_along_axis(
+        preds, midx[:, None, None, None], axis=1)[:, 0]
+    alv_y, arec_y = _code_tu(sy, best, qp, t16, 4)
+    pu = _intra_preds(left_cols(irec_u, CTB // 2), CTB // 2,
+                      luma=False)
+    pv = _intra_preds(left_cols(irec_v, CTB // 2), CTB // 2,
+                      luma=False)
+    pu = jnp.take_along_axis(pu, midx[:, None, None, None],
+                             axis=1)[:, 0]
+    pv = jnp.take_along_axis(pv, midx[:, None, None, None],
+                             axis=1)[:, 0]
+    alv_u, arec_u = _code_tu(su, pu, qp_c, t8, 3)
+    alv_v, arec_v = _code_tu(sv, pv, qp_c, t8, 3)
 
-        new_carry = (rec_y[:, :, -1], rec_u[:, :, -1], rec_v[:, :, -1])
-        return new_carry, (use_intra, mode, lv_y, lv_u, lv_v,
-                           rec_y, rec_u, rec_v)
+    m = use[:, None, None]
 
-    unroll = _unroll_for(ncw)
-    init = (jnp.full((nch, CTB), 128, jnp.int32),
-            jnp.full((nch, CTB // 2), 128, jnp.int32),
-            jnp.full((nch, CTB // 2), 128, jnp.int32))
-    xs = (ys, us, vs, (ilv_y, ilv_u, ilv_v),
-          (irec_y, irec_u, irec_v), isad_cols)
-    xs = jax.tree_util.tree_map(
-        lambda a: a.reshape(ncw // unroll, unroll, *a.shape[1:]), xs)
-    _, outs = jax.lax.scan(_make_scan(body, unroll), init, xs)
-    outs = jax.tree_util.tree_map(
-        lambda a: a.reshape(ncw, *a.shape[2:]), outs)
-    (use_intra, mode, lv_y, lv_u, lv_v, rec_y, rec_u, rec_v) = outs
+    def sel(a, b):
+        return jnp.where(m, a, b.reshape(a.shape)).reshape(
+            ncw, nch, *a.shape[1:])
 
-    is_intra = use_intra.T
+    lv_y = sel(alv_y, ilv_y)
+    lv_u = sel(alv_u, ilv_u)
+    lv_v = sel(alv_v, ilv_v)
+    rec_y = sel(arec_y, irec_y)
+    rec_u = sel(arec_u, irec_u)
+    rec_v = sel(arec_v, irec_v)
+    mode = _MODES[midx].reshape(ncw, nch)
+
+    is_intra = use_cols.T
     return {
         "is_intra": is_intra,
         "mode": jnp.where(is_intra, mode.T, 0),
