@@ -65,24 +65,47 @@ _OFF_DX = np.array([o[1] for o in _OFFS], np.int32)
 # transforms / quant (spec 8.6; int32 throughout — see module note)
 # ---------------------------------------------------------------------------
 
+def _limb_mm(x, mm):
+    """Exact integer matmul on the MXU: int32 einsums don't map to
+    the MXU (XLA emulates them — measured ~0.2 ms per 1080p luma
+    pass vs ~0.01 for f32). Split x (|x| <= 65535) into 8-bit limbs
+    so every bf16-rounded operand is exact (integers < 2^8 for lo,
+    < 2^8 after the shift for hi) and each f32 accumulation against
+    the transform matrix (entries <= 90) stays < 2^24. Two bf16 MXU
+    passes == one exact int32 product. mm: f32 tensor -> f32 matmul
+    against the (constant) transform matrix."""
+    hi = x >> 8                                # floor: lo in [0, 256)
+    lo = x - (hi << 8)
+    h = mm(hi.astype(jnp.float32)).astype(jnp.int32)
+    l = mm(lo.astype(jnp.float32)).astype(jnp.int32)
+    return (h << 8) + l
+
+
 def _fwd_transform(res, t, log2n: int):
-    """res (..., n, n) int32 -> coefficients."""
+    """res (..., n, n) int32 in [-255, 255] -> coefficients.
+    Stage 1 runs directly in f32 (8-bit inputs are bf16-exact and
+    accumulation <= n*90*255 < 2^24); stage 2 via 8-bit limbs
+    (|a| <= 45900 after the stage-1 shift)."""
     s1 = log2n - 1
     s2 = log2n + 6
-    a = (jnp.einsum("ij,...jk->...ik", t, res,
-                    preferred_element_type=jnp.int32)
-         + (1 << (s1 - 1))) >> s1
-    return (jnp.einsum("...ij,kj->...ik", a, t,
-                       preferred_element_type=jnp.int32)
-            + (1 << (s2 - 1))) >> s2
+    tf = t.astype(jnp.float32)
+    a = jnp.einsum("ij,...jk->...ik", tf, res.astype(jnp.float32))
+    a = (a.astype(jnp.int32) + (1 << (s1 - 1))) >> s1
+    p = _limb_mm(a, lambda x: jnp.einsum("...ij,kj->...ik", x, tf))
+    return (p + (1 << (s2 - 1))) >> s2
 
 
 def _inv_transform(coef, t, log2n: int):
-    a = (jnp.einsum("ji,...jk->...ik", t, coef,
-                    preferred_element_type=jnp.int32) + 64) >> 7
+    """coef (dequantized, clipped to +-32767) -> residual. Both
+    stages via 8-bit limbs (operands exceed bf16's integer
+    exactness range; per-limb accumulation <= n*90*255 < 2^24)."""
+    tf = t.astype(jnp.float32)
+    a = (_limb_mm(coef,
+                  lambda x: jnp.einsum("ji,...jk->...ik", tf, x))
+         + 64) >> 7
     a = jnp.clip(a, -32768, 32767)
-    r = (jnp.einsum("...ij,jk->...ik", a, t,
-                    preferred_element_type=jnp.int32) + 2048) >> 12
+    r = (_limb_mm(a, lambda x: jnp.einsum("...ij,jk->...ik", x, tf))
+         + 2048) >> 12
     return jnp.clip(r, -32768, 32767)
 
 
@@ -290,6 +313,19 @@ def _intra_preds(left, n: int, luma: bool):
         [jnp.stack([planar, dcp, hor, ver], axis=1), angulars], axis=1)
 
 
+def _select_cand(preds, midx):
+    """Select each row's winning candidate: preds (R, M, n, n) with
+    midx (R,) -> (R, n, n). A masked sum: jnp.take_along_axis lowers
+    to a per-element gather that costs ~3.8 ms/frame at 1080p on TPU,
+    while M dense compare-selects are ~free (VPU, no data movement)."""
+    m = preds.shape[1]
+    out = jnp.zeros_like(preds[:, 0])
+    for k in range(m):
+        out = out + jnp.where((midx == k)[:, None, None],
+                              preds[:, k], 0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # motion search / compensation
 # ---------------------------------------------------------------------------
@@ -477,9 +513,12 @@ def _window_canvas_dev(ref_pad, off_yx, blk: int, win: int, orig: int,
 def _satd8_blocks_bf(d):
     """8x8 Hadamard SATD per 16x16 block via add/sub butterflies
     (value-equal to _satd8_blocks; avoids tiny 8x8 matmuls).
-    d: (..., 16, 16) int32 -> (...) int32."""
+    d: (..., 16, 16) with |d| <= 255 (8-bit prediction diffs) ->
+    (...) int32. Butterflies run in int16 — both stages stay within
+    +-64*255 = +-16320 — halving HBM traffic (measured 5x on the
+    chip); the abs-sum accumulates in int32."""
     lead = d.shape[:-2]
-    x = d.reshape(*lead, 2, 8, 2, 8)
+    x = d.astype(jnp.int16).reshape(*lead, 2, 8, 2, 8)
 
     def stage(t, axis, half):
         n = t.shape[axis]
@@ -498,7 +537,7 @@ def _satd8_blocks_bf(d):
         x = stage(x, -3, half)
     for half in (4, 2, 1):
         x = stage(x, -1, half)
-    s8 = jnp.abs(x).sum((-1, -3)) >> 2                 # (..., 2, 2)
+    s8 = jnp.abs(x).sum((-1, -3), dtype=jnp.int32) >> 2  # (..., 2, 2)
     return s8.sum((-1, -2))
 
 
@@ -508,12 +547,15 @@ def _fullpel_refine_dev(cur_b, e):
     at rows/cols [5:21]. Tie order = SUBPEL_OFFS (earlier wins).
     Returns (d_yx, w24): the chosen offset and the 24x24 window
     re-based at it (origin -4 relative to the refined MV)."""
+    cur16 = cur_b.astype(e.dtype)
     best = jnp.full(cur_b.shape[:2], jnp.iinfo(jnp.int32).max,
                     jnp.int32)
     for k in range(9):
         dy, dx = int(_SUB_DY[k]), int(_SUB_DX[k])
         blk = e[:, :, 5 + dy:21 + dy, 5 + dx:21 + dx]
-        sad = jnp.abs(cur_b - blk).sum((-1, -2))
+        # abs-diff in the canvas dtype (int16: <= 255), row sums
+        # <= 16*255 still fit; accumulate the final axis in int32
+        sad = jnp.abs(cur16 - blk).sum(-1).sum(-1, dtype=jnp.int32)
         best = jnp.minimum(best, (sad << 4) | k)
     rank = best & 15
     dy = jnp.zeros_like(rank)
@@ -540,13 +582,20 @@ def _window_phases14(w24):
     w24 (nch, ncw, 24, 24) int32 -> (nch, ncw, 16, 17, 17) int32."""
     from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
+    # int16 through the horizontal stage: inputs are 8-bit, the 8-tap
+    # products (<= 58*255) and any sign-mixed prefix sum (<= 80*255 =
+    # 20400) fit; the vertical stage multiplies the <= +-20400
+    # intermediates so it accumulates in int32 and stores the >> 6
+    # result (<= +-30855) back as int16 — halving the HBM traffic of
+    # this memory-bound stage.
+    w16 = w24.astype(jnp.int16)
     tmps = []
     for fx in range(4):
         if fx == 0:
-            tmps.append(w24[..., :, 3:20] * 64)
+            tmps.append(w16[..., :, 3:20] * jnp.int16(64))
         else:
             th = [int(t) for t in LUMA_FILTER[fx]]
-            tmps.append(sum(th[k] * w24[..., :, k:k + 17]
+            tmps.append(sum(jnp.int16(th[k]) * w16[..., :, k:k + 17]
                             for k in range(8)))
     phases = []
     for fy in range(4):
@@ -554,11 +603,13 @@ def _window_phases14(w24):
         for fx in range(4):
             tmp = tmps[fx]
             if fy == 0:
-                acc = tmp[..., 3:20, :] * 64
+                # (tmp * 64) >> 6 == tmp exactly
+                acc16 = tmp[..., 3:20, :]
             else:
                 acc = sum(tv[k] * tmp[..., k:k + 17, :]
-                          for k in range(8))
-            phases.append(acc >> 6)
+                          .astype(jnp.int32) for k in range(8))
+                acc16 = (acc >> 6).astype(jnp.int16)
+            phases.append(acc16)
     return jnp.stack(phases, axis=2)                   # (...,16,17,17)
 
 
@@ -594,21 +645,26 @@ def _subpel_refine_local(cur_b, ph14):
     preds14 = []
     for k in range(9):
         oy, ox = int(_SUB_DY[k]), int(_SUB_DX[k])
-        p14 = jnp.zeros((nch, ncw, 16, 16), jnp.int32)
+        # 14-bit values are +-30855: the 9-way masked rebase runs in
+        # the phase dtype (int16 since _window_phases14 stores int16)
+        # — this select chain is the memory-bound core of the refine
+        p14 = jnp.zeros((nch, ncw, 16, 16), ph14.dtype)
         for k1 in range(9):
             hy = 2 * int(_SUB_DY[k1])
             hx = 2 * int(_SUB_DX[k1])
             p14 = p14 + jnp.where(
                 (rank1 == k1)[..., None, None],
-                cand_slice14(hy + oy, hx + ox), 0)
+                cand_slice14(hy + oy, hx + ox),
+                jnp.zeros((), ph14.dtype))
         preds14.append(p14)
-        cost = _satd8_blocks_bf(cur_b - _pred8_from14(p14))
+        cost = _satd8_blocks_bf(cur_b - _pred8_from14(p14)
+                                .astype(jnp.int32))
         best = jnp.minimum(best, (cost << 4) | k)
     rank2 = best & 15
 
     rel_y = jnp.zeros((nch, ncw), jnp.int32)
     rel_x = jnp.zeros((nch, ncw), jnp.int32)
-    pred14 = jnp.zeros((nch, ncw, 16, 16), jnp.int32)
+    pred14 = jnp.zeros((nch, ncw, 16, 16), ph14.dtype)
     for k1 in range(9):
         sel = rank1 == k1
         rel_y = rel_y + jnp.where(sel, 2 * int(_SUB_DY[k1]), 0)
@@ -636,7 +692,10 @@ def _motion_luma_dev(cur, ref_pad, pad: int):
     mvh = _coarse_search_dev(cur_h, ref_h_pad)
     mv0 = jnp.clip(2 * mvh, -(MV_FULL_MAX - 1), MV_FULL_MAX - 1)
 
-    e = _window_canvas_dev(ref_pad, mv0, blk=CTB, win=WIN_L, orig=-5,
+    # int16 canvas: samples are 8-bit, and the canvas select chain is
+    # pure HBM traffic (measured 1.36 -> 0.66 ms at 1080p)
+    e = _window_canvas_dev(ref_pad.astype(jnp.int16), mv0, blk=CTB,
+                           win=WIN_L, orig=-5,
                            lo=-(MV_FULL_MAX - 1), hi=MV_FULL_MAX - 1,
                            pad=pad)
     cur_b = _blocks(cur, CTB)
@@ -795,8 +854,11 @@ def _mc_chroma_qpel(ref_c_pad, mv_q, hc: int, wc: int,
 
 
 def _bi_combine(p0_14, p1_14):
-    """Default bi-prediction combine (spec 8.5.4.2.3.2, 8-bit)."""
-    return jnp.clip((p0_14 + p1_14 + 64) >> 7, 0, 255)
+    """Default bi-prediction combine (spec 8.5.4.2.3.2, 8-bit).
+    Upcasts first: 14-bit inputs may arrive int16 and their sum
+    (up to +-61710) would wrap."""
+    return jnp.clip((p0_14.astype(jnp.int32) + p1_14 + 64) >> 7,
+                    0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -838,8 +900,12 @@ def _luma_edge_filter(p, q, bs, qp):
     multiple of 4 (decision groups). Vectorized spec 8.7.2.5.3/.5.7."""
     e, li, _ = p.shape
     beta = jnp.asarray(_BETA_TABLE)[jnp.clip(qp, 0, 51)]
-    tc_all = jnp.asarray(_TC_TABLE)[jnp.clip(qp + 2 * (bs - 1), 0, 53)]
-    tc_all = jnp.where(bs > 0, tc_all, 0)
+    # bs is only ever 0/1/2: two scalar table lookups + a dense
+    # select (a per-element table gather here costs ~1 ms/frame)
+    tc_bs1 = jnp.asarray(_TC_TABLE)[jnp.clip(qp, 0, 53)]
+    tc_bs2 = jnp.asarray(_TC_TABLE)[jnp.clip(qp + 2, 0, 53)]
+    tc_all = jnp.where(bs == 2, tc_bs2,
+                       jnp.where(bs == 1, tc_bs1, 0)).astype(p.dtype)
 
     p3, p2, p1, p0 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
     q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
@@ -913,7 +979,7 @@ def _chroma_edge_filter(p, q, bs, qp):
     (spec 8.7.2.5.5)."""
     from ceracoder_tpu.codec.h265.tables import CHROMA_SCALE
     qpc = jnp.asarray(CHROMA_SCALE, jnp.int32)[jnp.clip(qp, 0, 69)]
-    tc = jnp.asarray(_TC_TABLE)[jnp.clip(qpc + 2, 0, 53)]
+    tc = jnp.asarray(_TC_TABLE)[jnp.clip(qpc + 2, 0, 53)].astype(p.dtype)
     p1, p0 = p[..., 0], p[..., 1]
     q0, q1 = q[..., 0], q[..., 1]
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
@@ -1003,9 +1069,12 @@ def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
     picture, then horizontal edges on the result). mv1 for B frames;
     tu_split + luma_lv enable per-quadrant boundary strengths and the
     interior 8-aligned TU edges of split CUs."""
-    y = jnp.asarray(rec_y).astype(jnp.int32)
-    u = jnp.asarray(rec_u).astype(jnp.int32)
-    v = jnp.asarray(rec_v).astype(jnp.int32)
+    # int16 planes: every filter intermediate fits (largest sums are
+    # the strong-filter taps <= 8*255 + 4 and delta in +-3068), and
+    # the pass is dominated by plane relayout traffic
+    y = jnp.asarray(rec_y).astype(jnp.int16)
+    u = jnp.asarray(rec_u).astype(jnp.int16)
+    v = jnp.asarray(rec_v).astype(jnp.int16)
     is_intra = jnp.asarray(is_intra)
     cbf_l = jnp.asarray(cbf_l)
     mv = jnp.asarray(mv)
@@ -1073,14 +1142,13 @@ def _intra_col(ly, lu, lv, sy, su, sv, qp, qp_c, t16, t8):
     preds = _intra_preds(ly, CTB, luma=True)         # (R, M, 16, 16)
     sad = _satd8_blocks(sy[:, None] - preds)         # (R, M)
     midx = jnp.argmin(sad, axis=1)
-    best = jnp.take_along_axis(
-        preds, midx[:, None, None, None], axis=1)[:, 0]
+    best = _select_cand(preds, midx)
     lv_y, rec_y = _code_tu(sy, best, qp, t16, 4)
 
     pu = _intra_preds(lu, CTB // 2, luma=False)
     pv = _intra_preds(lv, CTB // 2, luma=False)
-    pu = jnp.take_along_axis(pu, midx[:, None, None, None], axis=1)[:, 0]
-    pv = jnp.take_along_axis(pv, midx[:, None, None, None], axis=1)[:, 0]
+    pu = _select_cand(pu, midx)
+    pv = _select_cand(pv, midx)
     lv_u, rec_u = _code_tu(su, pu, qp_c, t8, 3)
     lv_v, rec_v = _code_tu(sv, pv, qp_c, t8, 3)
 
@@ -1179,12 +1247,14 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
     counts = jnp.stack([mask[:, :256].sum(1), mask[:, 256:320].sum(1),
                         mask[:, 320:].sum(1)], axis=1).astype(jnp.int32)
 
-    # two-level compaction: a whole-frame element scatter costs ~45 ms
-    # on TPU (~14 ns/update over all 3.1M slots); a row scatter over
-    # 128-wide segments is ~free, so compact nonzero segments first
-    # and element-scatter only the reduced buffer (~3 ms total).
-    # Segment order (CTB-major, [luma0|luma1|cb+cr] within a CTB)
-    # matches the flat slot order, so the output stream is unchanged.
+    # three-level compaction: a whole-frame element scatter costs
+    # ~45 ms on TPU (~14 ns/update over all 3.1M slots) while row
+    # scatters are cheap. Level 1 compacts nonzero 128-wide segments,
+    # level 2 compacts nonzero 16-wide subsegments of the survivors,
+    # level 3 element-scatters only the ~subcap*16 remaining slots.
+    # Each level's cumsum is order-preserving, so the output stream
+    # stays CTB-major ([luma0|luma1|cb+cr] within a CTB) — unchanged
+    # vs the dense flattening.
     n_seg = n_ctb * 3
     segcap = min(n_seg, 6144)
     segs = flat.reshape(n_seg, 128)
@@ -1197,9 +1267,25 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
     segid = jnp.zeros(segcap + 1, jnp.int32).at[dstr].set(
         jnp.arange(n_seg, dtype=jnp.int32), mode="drop")
 
-    red = comp[:segcap].reshape(-1)
-    posr = ((segid[:segcap] % 3) * 128)[:, None] + jnp.arange(
-        128, dtype=jnp.int32)
+    # level 2: 16-wide subsegments; posbase = slot offset within the
+    # CTB's 384-slot layout of each subsegment's first element
+    subw = 16
+    n_sub = segcap * (128 // subw)
+    subcap = min(n_sub, 16384)
+    subs = comp[:segcap].reshape(n_sub, subw)
+    posbase = ((segid[:segcap] % 3) * 128)[:, None] + jnp.arange(
+        0, 128, subw, dtype=jnp.int32)                # (segcap, 8)
+    sub_nz = (subs != 0).any(-1)
+    n_sub_nz = sub_nz.sum().astype(jnp.int32)
+    dsts = jnp.cumsum(sub_nz) - 1
+    dsts = jnp.where(sub_nz, dsts, subcap)
+    comp2 = jnp.zeros((subcap + 1, subw), jnp.int16).at[dsts].set(
+        subs, mode="drop")
+    pos2 = jnp.zeros(subcap + 1, jnp.int32).at[dsts].set(
+        posbase.reshape(-1), mode="drop")
+
+    red = comp2[:subcap].reshape(-1)
+    posr = pos2[:subcap, None] + jnp.arange(subw, dtype=jnp.int32)
     m2 = red != 0
     packed = ((posr.reshape(-1) << 16)
               | (red.astype(jnp.int32) & 0xFFFF))
@@ -1212,8 +1298,10 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
     val = jax.lax.bitcast_convert_type(
         (out & 0xFFFF).astype(jnp.uint16), jnp.int16)
     nnz = mask.sum().astype(jnp.int32)
-    # dropped segments would corrupt the stream: force host fallback
-    nnz = jnp.where(n_seg_nz > segcap, jnp.int32(cap + 1), nnz)
+    # dropped segments/subsegments would corrupt the stream: force
+    # host fallback
+    nnz = jnp.where((n_seg_nz > segcap) | (n_sub_nz > subcap),
+                    jnp.int32(cap + 1), nnz)
     return pos, val, counts.reshape(nch, ncw, 3), nnz
 
 
@@ -1363,17 +1451,14 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
     use_cols = want & (((cidx - last0 - 1) & 1) == 0)  # (ncw, nch)
     use = use_cols.reshape(r)
 
-    best = jnp.take_along_axis(
-        preds, midx[:, None, None, None], axis=1)[:, 0]
+    best = _select_cand(preds, midx)
     alv_y, arec_y = _code_tu(sy, best, qp, t16, 4)
     pu = _intra_preds(left_cols(irec_u, CTB // 2), CTB // 2,
                       luma=False)
     pv = _intra_preds(left_cols(irec_v, CTB // 2), CTB // 2,
                       luma=False)
-    pu = jnp.take_along_axis(pu, midx[:, None, None, None],
-                             axis=1)[:, 0]
-    pv = jnp.take_along_axis(pv, midx[:, None, None, None],
-                             axis=1)[:, 0]
+    pu = _select_cand(pu, midx)
+    pv = _select_cand(pv, midx)
     alv_u, arec_u = _code_tu(su, pu, qp_c, t8, 3)
     alv_v, arec_v = _code_tu(sv, pv, qp_c, t8, 3)
 

@@ -398,3 +398,53 @@ class TestTuSplitDevice:
         coded += enc2.flush()
         b = enc2.headers() + b"".join(t[0] for t in coded)
         assert a == b
+
+
+class TestLimbTransformExactness:
+    """The MXU limb-split transforms must be bit-exact against a
+    straight int32 formulation at WORST-CASE operand ranges (the
+    content-driven parity tests above never reach the +-32767
+    dequant clip rails)."""
+
+    def test_fwd_inv_extreme_ranges(self):
+        import jax.numpy as jnp
+
+        from ceracoder_tpu.codec.h265.tables import T4, T8, T16
+        from ceracoder_tpu.ops.h265 import (
+            _fwd_transform,
+            _inv_transform,
+        )
+
+        def fwd_int(res, t, log2n):
+            s1, s2 = log2n - 1, log2n + 6
+            a = (np.einsum("ij,njk->nik", t, res)
+                 + (1 << (s1 - 1))) >> s1
+            return (np.einsum("nij,kj->nik", a, t)
+                    + (1 << (s2 - 1))) >> s2
+
+        def inv_int(coef, t, log2n):
+            a = (np.einsum("ji,njk->nik", t, coef) + 64) >> 7
+            a = np.clip(a, -32768, 32767)
+            r = (np.einsum("nij,jk->nik", a, t) + 2048) >> 12
+            return np.clip(r, -32768, 32767)
+
+        rng = np.random.default_rng(7)
+        for t_np, log2n in ((np.asarray(T16, np.int64), 4),
+                            (np.asarray(T8, np.int64), 3),
+                            (np.asarray(T4, np.int64), 2)):
+            n = 1 << log2n
+            t = jnp.asarray(t_np, jnp.int32)
+            # residuals: random full-range + all-extreme corners
+            res = rng.integers(-255, 256, (64, n, n))
+            res[0], res[1] = 255, -255
+            res[2, :, ::2], res[2, :, 1::2] = 255, -255
+            got = np.asarray(_fwd_transform(
+                jnp.asarray(res, jnp.int32), t, log2n))
+            assert (got == fwd_int(res, t_np, log2n)).all()
+            # coefficients at the clip rails and random
+            coef = rng.integers(-32768, 32768, (64, n, n))
+            coef[0], coef[1] = 32767, -32768
+            coef[2, ::2], coef[2, 1::2] = 32767, -32768
+            got = np.asarray(_inv_transform(
+                jnp.asarray(coef, jnp.int32), t, log2n))
+            assert (got == inv_int(coef, t_np, log2n)).all()
