@@ -284,13 +284,16 @@ def _inter_tail_rows(y, u, v, pred_y_all, pred_u_all, pred_v_all,
             x0, y0 = cx * CTB, cy * CTB
             src = y[y0:y0 + CTB, x0:x0 + CTB]
             lref = _ref_samples_row(irec_y, x0, y0, CTB)
-            ibest, ipred, isad = None, None, 1 << 30
+            ibest, isad = None, 1 << 30
             for m in I.CAND_MODES:
                 pr = I.predict(m, *lref, CTB, 0)
                 sad = int(satd8_block(src - pr))
                 if sad < isad:
-                    ibest, ipred, isad = m, pr, sad
-            cand[cy, cx] = (ibest, ipred)
+                    ibest, isad = m, sad
+            # store only the winning mode; pass 3 recomputes its
+            # prediction from irec_y (keeping ~nch*ncw full blocks
+            # alive here costs ~2 MB/frame at 1080p for nothing)
+            cand[cy, cx] = ibest
             want[cy, cx] = (isad * INTRA_BIAS_DEN
                             < inter_sads[cy, cx] * INTRA_BIAS_NUM)
     is_intra = np.zeros((nch, ncw), bool)
@@ -308,7 +311,10 @@ def _inter_tail_rows(y, u, v, pred_y_all, pred_u_all, pred_v_all,
                 continue
             x0, y0 = cx * CTB, cy * CTB
             cx0, cy0 = x0 // 2, y0 // 2
-            ibest, ipred = cand[cy, cx]
+            ibest = cand[cy, cx]
+            ipred = I.predict(ibest,
+                              *_ref_samples_row(irec_y, x0, y0, CTB),
+                              CTB, 0)
             mode[cy, cx] = ibest
             tsplit[cy, cx] = False
             src = y[y0:y0 + CTB, x0:x0 + CTB]

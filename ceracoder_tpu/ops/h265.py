@@ -1441,8 +1441,13 @@ def _inter_frame_tail(y, u, v, pred_y, pred_u, pred_v, qp, qp_c,
     sads = _satd8_blocks(sy[:, None] - preds)          # (R, M)
     midx = jnp.argmin(sads, axis=1)
     intra_sad = jnp.min(sads, axis=1)
-    want = (intra_sad * 4
-            < inter_sad.T.reshape(r) * 3).reshape(ncw, nch)
+    from ceracoder_tpu.codec.h265.rowslice import (
+        INTRA_BIAS_DEN,
+        INTRA_BIAS_NUM,
+    )
+    want = (intra_sad * INTRA_BIAS_DEN
+            < inter_sad.T.reshape(r) * INTRA_BIAS_NUM).reshape(
+                ncw, nch)
 
     # use[c] = want[c] & ~use[c-1]: within a run of want, alternation
     # starts at the run head => parity of (c - run_start)
