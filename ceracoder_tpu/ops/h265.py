@@ -582,20 +582,20 @@ def _window_phases14(w24):
     w24 (nch, ncw, 24, 24) int32 -> (nch, ncw, 16, 17, 17) int32."""
     from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
-    # int16 through the horizontal stage: inputs are 8-bit, the 8-tap
-    # products (<= 58*255) and any sign-mixed prefix sum (<= 80*255 =
-    # 20400) fit; the vertical stage multiplies the <= +-20400
-    # intermediates so it accumulates in int32 and stores the >> 6
-    # result (<= +-30855) back as int16 — halving the HBM traffic of
-    # this memory-bound stage.
-    w16 = w24.astype(jnp.int16)
+    # NOTE: an int16 variant of this stage (int16 horizontal tmps,
+    # int16 phase storage) is value-exact on CPU but MISCOMPILES on
+    # the axon TPU backend in fused context (P-frame luma recon
+    # diverged from the oracle; bisected 2026-08-20). Keep the
+    # interpolation math in int32 — only decision-side stages (SAD/
+    # SATD) may run narrow.
+    w32 = w24.astype(jnp.int32)
     tmps = []
     for fx in range(4):
         if fx == 0:
-            tmps.append(w16[..., :, 3:20] * jnp.int16(64))
+            tmps.append(w32[..., :, 3:20] * 64)
         else:
             th = [int(t) for t in LUMA_FILTER[fx]]
-            tmps.append(sum(jnp.int16(th[k]) * w16[..., :, k:k + 17]
+            tmps.append(sum(th[k] * w32[..., :, k:k + 17]
                             for k in range(8)))
     phases = []
     for fy in range(4):
@@ -604,12 +604,11 @@ def _window_phases14(w24):
             tmp = tmps[fx]
             if fy == 0:
                 # (tmp * 64) >> 6 == tmp exactly
-                acc16 = tmp[..., 3:20, :]
+                acc = tmp[..., 3:20, :]
             else:
                 acc = sum(tv[k] * tmp[..., k:k + 17, :]
-                          .astype(jnp.int32) for k in range(8))
-                acc16 = (acc >> 6).astype(jnp.int16)
-            phases.append(acc16)
+                          for k in range(8)) >> 6
+            phases.append(acc)
     return jnp.stack(phases, axis=2)                   # (...,16,17,17)
 
 
@@ -1072,9 +1071,9 @@ def deblock_frame_dev(rec_y, rec_u, rec_v, is_intra, cbf_l, mv, qp,
     # int16 planes: every filter intermediate fits (largest sums are
     # the strong-filter taps <= 8*255 + 4 and delta in +-3068), and
     # the pass is dominated by plane relayout traffic
-    y = jnp.asarray(rec_y).astype(jnp.int16)
-    u = jnp.asarray(rec_u).astype(jnp.int16)
-    v = jnp.asarray(rec_v).astype(jnp.int16)
+    y = jnp.asarray(rec_y).astype(jnp.int32)
+    u = jnp.asarray(rec_u).astype(jnp.int32)
+    v = jnp.asarray(rec_v).astype(jnp.int32)
     is_intra = jnp.asarray(is_intra)
     cbf_l = jnp.asarray(cbf_l)
     mv = jnp.asarray(mv)
