@@ -145,7 +145,8 @@ class H264Encoder:
                  chroma_qp_offset: int = 0, gop: int = 1,
                  deblock: bool = True, device_entropy: bool = True,
                  row_capacity_bytes: int | None = None,
-                 frame_capacity_bytes: int | None = None):
+                 frame_capacity_bytes: int | None = None,
+                 cabac: bool = False):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")
@@ -154,7 +155,10 @@ class H264Encoder:
         self.qp = qp
         self.gop = max(1, gop)          # 1 = all-intra
         self.deblock = deblock
-        self.device_entropy = device_entropy
+        # CABAC entropy (Main profile) runs on the host path; the
+        # device bit-packer speaks CAVLC only
+        self.cabac = cabac
+        self.device_entropy = device_entropy and not cabac
         # per-row packed capacity in 32-bit words; overflow falls back to
         # the host entropy path for that frame (detected exactly)
         cap = row_capacity_bytes or max(2048, self.mbw * 192)
@@ -168,9 +172,11 @@ class H264Encoder:
         self._prev_chunks = {True: 4, False: 1}
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
-                             fps_num=fps_num, fps_den=fps_den)
+                             fps_num=fps_num, fps_den=fps_den,
+                             profile_idc=77 if cabac else 66)
         self.pps = PpsConfig(pic_init_qp=26,
-                             chroma_qp_index_offset=chroma_qp_offset)
+                             chroma_qp_index_offset=chroma_qp_offset,
+                             cabac=cabac)
         self.frame_idx = 0
         self.idr_pic_id = 0
         self.frame_num = 0              # reference-frame counter
@@ -492,7 +498,15 @@ class H264Encoder:
                                            qp, qp_c, intra_frame=True)
             outs_np = {k: np.asarray(o) for k, o in outs.items()
                        if not isinstance(o, tuple)}
-            data = self._assemble(outs_np, qp, idr_pic_id)
+            if self.cabac:
+                from ceracoder_tpu.codec.h264.cabac_assemble import (
+                    assemble_i_cabac,
+                )
+                data = assemble_i_cabac(
+                    outs_np, qp, idr_pic_id, self.mbh, self.mbw,
+                    self.pps.pic_init_qp, self.deblock, LUMA_SNAKE)
+            else:
+                data = self._assemble(outs_np, qp, idr_pic_id)
         else:
             outs = encode_frame_p(yj, uj, vj, *prev_ref, qp, qp_c)
             recon = outs["recon"]
@@ -502,7 +516,15 @@ class H264Encoder:
                                            qp, qp_c, intra_frame=False)
             outs_np = {k: np.asarray(o) for k, o in outs.items()
                        if not isinstance(o, tuple)}
-            data = self._assemble_p(outs_np, qp, frame_num)
+            if self.cabac:
+                from ceracoder_tpu.codec.h264.cabac_assemble import (
+                    assemble_p_cabac,
+                )
+                data = assemble_p_cabac(
+                    outs_np, qp, frame_num, self.mbh, self.mbw,
+                    self.pps.pic_init_qp, self.deblock, LUMA_SNAKE)
+            else:
+                data = self._assemble_p(outs_np, qp, frame_num)
         # NOTE: does not touch self._ref — the overflow fallback runs
         # after later frames may already be in flight; the caller that
         # owns the submission order assigns the reference.

@@ -105,14 +105,15 @@ class PpsConfig:
     pic_init_qp: int = 26
     chroma_qp_index_offset: int = 0
     deblocking_filter_control_present: bool = True
+    cabac: bool = False
 
 
 def write_pps(cfg: PpsConfig) -> bytes:
-    """Picture parameter set RBSP (spec 7.3.2.2), CAVLC."""
+    """Picture parameter set RBSP (spec 7.3.2.2)."""
     w = BitWriter()
     w.ue(0)                        # pic_parameter_set_id
     w.ue(0)                        # seq_parameter_set_id
-    w.flag(False)                  # entropy_coding_mode (0 = CAVLC)
+    w.flag(cfg.cabac)              # entropy_coding_mode_flag
     w.flag(False)                  # bottom_field_pic_order_in_frame_present
     w.ue(0)                        # num_slice_groups_minus1
     w.ue(0)                        # num_ref_idx_l0_default_active_minus1
@@ -144,6 +145,8 @@ class SliceConfig:
     deblock_idc: int = 1
     deblocking_filter_control_present: bool = True
     num_ref_idx_active_minus1: int = 0
+    cabac: bool = False
+    cabac_init_idc: int = 0
 
 
 def write_slice_header(cfg: SliceConfig) -> BitWriter:
@@ -167,6 +170,8 @@ def write_slice_header(cfg: SliceConfig) -> BitWriter:
     elif is_p:
         # dec_ref_pic_marking for reference P slices
         w.flag(False)              # adaptive_ref_pic_marking_mode_flag
+    if cfg.cabac and is_p:
+        w.ue(cfg.cabac_init_idc)
     w.se(cfg.qp - cfg.pic_init_qp)  # slice_qp_delta
     if cfg.deblocking_filter_control_present:
         w.ue(cfg.deblock_idc)

@@ -399,10 +399,12 @@ class H265DeviceEncoder:
                 [get("pos_chunks", c)[f] for c in range(need)])
             val = np.concatenate(
                 [get("val_chunks", c)[f] for c in range(need)])
+            # mode/mv transfer as int8 (ops/h265 narrows them);
+            # upcast so downstream numpy arithmetic can't wrap
             arrays = {
                 "is_intra": get("is_intra")[f],
-                "mode": get("mode")[f],
-                "mv": get("mv")[f],
+                "mode": get("mode")[f].astype(np.int32),
+                "mv": get("mv")[f].astype(np.int32),
                 "tu_split": get("tu_split")[f],
             }
             if self.sao:
@@ -592,12 +594,13 @@ class H265DeviceEncoder:
                 [get(key, "val_chunks", c)[k] for c in range(need)])
             arrays = {
                 "is_intra": get(key, "is_intra")[k],
-                "mode": get(key, "mode")[k],
-                "mv": get(key, "mv")[k],
+                "mode": get(key, "mode")[k].astype(np.int32),
+                "mv": get(key, "mv")[k].astype(np.int32),
                 "tu_split": get(key, "tu_split")[k],
             }
             if is_b:
-                arrays["mv1"] = np.asarray(outs[key]["mv1"][k])
+                arrays["mv1"] = np.asarray(
+                    outs[key]["mv1"][k]).astype(np.int32)
             if self.sao:
                 arrays["sao"] = get(key, "sao")[k]
             arrays.update(densify_levels(get(key, "counts")[k],

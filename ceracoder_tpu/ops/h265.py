@@ -1546,15 +1546,21 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
                                     luma_lv=outs["luma_lv"])
         else:
             rec = outs["recon"]
-        out = {"is_intra": outs["is_intra"], "mode": outs["mode"],
-               "mv": outs["mv"], "tu_split": outs["tu_split"]}
+        # narrow transfer dtypes: modes are <= 34 and qpel MV
+        # components <= 4*MV_FULL_MAX + 3 = 35 (int8); per-TU counts
+        # <= 256 (uint16). The host upcasts after np.asarray.
+        out = {"is_intra": outs["is_intra"],
+               "mode": outs["mode"].astype(jnp.int8),
+               "mv": outs["mv"].astype(jnp.int8),
+               "tu_split": outs["tu_split"]}
         if sao:
             sp = sao_estimate_dev((y, u, v), rec, qp)
             rec = sao_apply_dev(rec, sp)
             out["sao"] = sp
         pos, val, counts, nnz = _compact_levels(
             outs["luma_lv"], outs["cb_lv"], outs["cr_lv"], cap)
-        out.update(pos=pos, val=val, counts=counts, nnz=nnz, recon=rec)
+        out.update(pos=pos, val=val, counts=counts.astype(jnp.uint16),
+                   nnz=nnz, recon=rec)
         return rec, out
 
     def step(ref, xs):
@@ -1630,14 +1636,18 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
         def pack(o, rec, sp, extra_mv1=None):
             pos, val, counts, nnz = _compact_levels(
                 o["luma_lv"], o["cb_lv"], o["cr_lv"], cap)
-            d = {"is_intra": o["is_intra"], "mode": o["mode"],
-                 "mv": o["mv"], "tu_split": o["tu_split"],
+            # narrow transfer dtypes (see encode_run_rows.one_frame)
+            d = {"is_intra": o["is_intra"],
+                 "mode": o["mode"].astype(jnp.int8),
+                 "mv": o["mv"].astype(jnp.int8),
+                 "tu_split": o["tu_split"],
                  "pos": pos, "val": val,
-                 "counts": counts, "nnz": nnz, "recon": rec}
+                 "counts": counts.astype(jnp.uint16), "nnz": nnz,
+                 "recon": rec}
             if sp is not None:
                 d["sao"] = sp
             if extra_mv1 is not None:
-                d["mv1"] = extra_mv1
+                d["mv1"] = extra_mv1.astype(jnp.int8)
             return d
 
         out = {"p": pack(outs_p, rec_p, sao_p),

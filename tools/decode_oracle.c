@@ -17,6 +17,7 @@
 #include <string.h>
 
 #include <libavcodec/avcodec.h>
+#include <libavutil/log.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 
@@ -63,6 +64,10 @@ int main(int argc, char **argv) {
         return 1;
     }
     AVCodecContext *ctx = avcodec_alloc_context3(dec);
+    if (getenv("ORACLE_DEBUG")) {
+        ctx->debug = 8 | 16;   /* FF_DEBUG_MB_TYPE | FF_DEBUG_QP */
+        av_log_set_level(AV_LOG_DEBUG);
+    }
     avcodec_parameters_to_context(ctx, st->codecpar);
     /* strict conformance: report every spec violation loudly */
     ctx->err_recognition = AV_EF_EXPLODE | AV_EF_BITSTREAM;

@@ -32,6 +32,7 @@ int main(int argc, char **argv) {
     const char *out_path = argv[5];
     const char *preset = argc > 6 ? argv[6] : "medium";
     const char *rate = argc > 7 ? argv[7] : "qp:26";
+    const char *params = argc > 8 ? argv[8] : NULL;
 
     const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
     if (!codec) {
@@ -48,6 +49,8 @@ int main(int argc, char **argv) {
     ctx->max_b_frames = 0;          /* low-latency live profile */
     av_opt_set(ctx->priv_data, "preset", preset, 0);
     av_opt_set(ctx->priv_data, "tune", "zerolatency", 0);
+    if (params)
+        av_opt_set(ctx->priv_data, "x264-params", params, 0);
     if (!strncmp(rate, "qp:", 3)) {
         av_opt_set(ctx->priv_data, "qp", rate + 3, 0);
     } else {
