@@ -50,17 +50,21 @@ def bench_encoder(make_encoder, w, h):
                                   indices=range(RUN, 2 * RUN)):
         p.result()
 
+    from collections import deque
+
     enc2 = make_encoder()
     nbytes = 0
-    pend = []
+    q = deque()
     t0 = time.time()
     for s in range(N // RUN):
         idx = range(s * RUN, (s + 1) * RUN)
-        new = enc2.encode_run_async(source=src, indices=idx)
-        # collect the previous run while this one computes
-        nbytes += sum(len(p.result().data) for p in pend)
-        pend = new
-    nbytes += sum(len(p.result().data) for p in pend)
+        q.append(enc2.encode_run_async(source=src, indices=idx))
+        # keep two runs in flight (hides the dispatch+sync round
+        # trip), collect the oldest while the newer ones compute
+        if len(q) > 2:
+            nbytes += sum(len(p.result().data) for p in q.popleft())
+    while q:
+        nbytes += sum(len(p.result().data) for p in q.popleft())
     dt = (time.time() - t0) / N
     return 1.0 / dt, nbytes
 

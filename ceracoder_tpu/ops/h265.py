@@ -582,12 +582,15 @@ def _window_phases14(w24):
     w24 (nch, ncw, 24, 24) int32 -> (nch, ncw, 16, 17, 17) int32."""
     from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
-    # NOTE: an int16 variant of this stage (int16 horizontal tmps,
-    # int16 phase storage) is value-exact on CPU but MISCOMPILES on
-    # the axon TPU backend in fused context (P-frame luma recon
-    # diverged from the oracle; bisected 2026-08-20). Keep the
-    # interpolation math in int32 — only decision-side stages (SAD/
-    # SATD) may run narrow.
+    # NOTE: running the FILTER ARITHMETIC in int16 is value-exact on
+    # CPU but MISCOMPILES on the axon TPU backend in fused context
+    # (P-frame luma recon diverged from the oracle; bisected
+    # 2026-08-20). Interpolation math therefore stays int32; the
+    # phase tensor is merely STORED int16 (values fit +-30855) and
+    # upcast on load — the int16-store/int32-compute pattern the
+    # window canvas already uses safely on chip. This halves the HBM
+    # traffic of the 16x17x17-per-CU tensor that the subpel refine
+    # re-reads ~18 times.
     w32 = w24.astype(jnp.int32)
     tmps = []
     for fx in range(4):
@@ -608,7 +611,7 @@ def _window_phases14(w24):
             else:
                 acc = sum(tv[k] * tmp[..., k:k + 17, :]
                           for k in range(8)) >> 6
-            phases.append(acc)
+            phases.append(acc.astype(jnp.int16))
     return jnp.stack(phases, axis=2)                   # (...,16,17,17)
 
 
@@ -628,7 +631,9 @@ def _subpel_refine_local(cur_b, ph14):
         p = ((fy & 3) << 2) | (fx & 3)
         sy = (fy >> 2) + 1
         sx = (fx >> 2) + 1
-        return ph14[:, :, p, sy:sy + 16, sx:sx + 16]
+        # ph14 is STORED int16 (see _window_phases14); upcast right
+        # at the load so all arithmetic stays int32 (axon-safe)
+        return ph14[:, :, p, sy:sy + 16, sx:sx + 16].astype(jnp.int32)
 
     # step 1: half-pel (static phases per candidate)
     best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
