@@ -341,25 +341,19 @@ class H265DeviceEncoder:
         recons = outs["recon"]
         self._ref = tuple(r[-1] for r in recons)
 
-        small_keys = ["is_intra", "mode", "mv", "tu_split", "counts",
-                      "nnz"]
+        small = [outs["packed"]]
         if self.sao:
-            small_keys.append("sao")
-        small = {k: outs[k] for k in small_keys}
-        for a in small.values():
+            small.append(outs["sao"])
+        # prefetch the extra level chunks the previous run needed
+        # (typically none: chunk 0 covers a whole frame at normal QPs)
+        npre = min(len(outs["lv_chunks"]),
+                   getattr(self, "_prev_nextra", 0))
+        small += [outs["lv_chunks"][c] for c in range(npre)]
+        for a in small:
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        # prefetch the chunks the previous run needed (+1 margin)
-        npre = min(len(outs["pos_chunks"]),
-                   getattr(self, "_prev_nchunks", 1) + 1)
-        for c in range(npre):
-            for t in ("pos_chunks", "val_chunks"):
-                try:
-                    outs[t][c].copy_to_host_async()
-                except AttributeError:
-                    pass
 
         cache: dict = {}
 
@@ -374,42 +368,65 @@ class H265DeviceEncoder:
         for f in range(nf):
             pend.append(self._make_run_pending(
                 f, bool(idr_flags[f]), int(qp_arr[f]), int(qpc_arr[f]),
-                int(pocs[f]), get, len(outs["pos_chunks"]), cap,
-                recons, prev_ref, frames, source, fidx))
+                int(pocs[f]), get, cap, recons, prev_ref, frames,
+                source, fidx))
         return pend
 
-    def _make_run_pending(self, f, idr, qp, qp_c, poc, get, nchunks,
-                          cap, recons, run_ref, frames, source, fidx):
+    def _unpack_row(self, row, get, f, cap, with_mv1=False):
+        """Decode one frame's slice of the packed transfer buffer
+        (ops/h265.run_pack_layout) into the entropy-stage arrays.
+        Returns (nnz, arrays) — arrays is None when nnz overflowed cap
+        and the frame must be redone on the host path."""
         from ceracoder_tpu.codec.h265.rowslice import densify_levels
-        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
+        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK, run_pack_layout
 
+        nch, ncw = self.ph // CTB, self.pw // CTB
+        n_ctb = nch * ncw
+        lay = run_pack_layout(n_ctb, with_mv1=with_mv1)
+        nnz = int(row[lay["nnz"]:lay["nnz"] + 4].view(np.int32)[0])
+        if nnz > cap:
+            return nnz, None
+        meta = row[lay["meta"]:lay["meta"] + n_ctb].reshape(nch, ncw)
+        arrays = {
+            "is_intra": (meta & 0x80) != 0,
+            "tu_split": (meta & 0x40) != 0,
+            "mode": (meta & 0x3F).astype(np.int32),
+            "mv": row[lay["mv"]:lay["mv"] + 2 * n_ctb]
+            .view(np.int8).reshape(nch, ncw, 2).astype(np.int32),
+        }
+        if with_mv1:
+            arrays["mv1"] = row[lay["mv1"]:lay["mv1"] + 2 * n_ctb] \
+                .view(np.int8).reshape(nch, ncw, 2).astype(np.int32)
+        counts = row[lay["counts"]:lay["counts"] + 2 * n_ctb] \
+            .view(np.uint16).reshape(nch, ncw)
+        pv0 = row[lay["lv0"]:lay["lv0"] + 4 * LEVEL_CHUNK] \
+            .view(np.int16).reshape(LEVEL_CHUNK, 2)
+        pos, val = pv0[:, 0], pv0[:, 1]
+        nextra = max(0, -(-nnz // LEVEL_CHUNK) - 1)
+        self._prev_nextra = nextra
+        if nextra:
+            ext = [np.asarray(get("lv_chunks", c)[f])
+                   for c in range(nextra)]
+            pos = np.concatenate([pos] + [e[:, 0] for e in ext])
+            val = np.concatenate([val] + [e[:, 1] for e in ext])
+        arrays.update(densify_levels(counts, pos, val))
+        return nnz, arrays
+
+    def _make_run_pending(self, f, idr, qp, qp_c, poc, get, cap,
+                          recons, run_ref, frames, source, fidx):
         def finish() -> EncodedFrame:
             recon_dev = tuple(r[f] for r in recons)
-            nnz = int(get("nnz")[f])
-            if nnz > cap:
+            row = get("packed")[f]
+            nnz, arrays = self._unpack_row(row, get, f, cap)
+            if arrays is None:
                 sao_f = get("sao")[f] if self.sao else None
                 data = self._host_fallback(f, idr, qp, qp_c, poc,
                                            recons, run_ref, frames,
                                            source, fidx, sao_f)
                 return EncodedFrame(data=data, keyframe=idr, qp=qp,
                                     _recon_dev=recon_dev)
-            need = max(1, -(-nnz // LEVEL_CHUNK))
-            self._prev_nchunks = need
-            pos = np.concatenate(
-                [get("pos_chunks", c)[f] for c in range(need)])
-            val = np.concatenate(
-                [get("val_chunks", c)[f] for c in range(need)])
-            # mode/mv transfer as int8 (ops/h265 narrows them);
-            # upcast so downstream numpy arithmetic can't wrap
-            arrays = {
-                "is_intra": get("is_intra")[f],
-                "mode": get("mode")[f].astype(np.int32),
-                "mv": get("mv")[f].astype(np.int32),
-                "tu_split": get("tu_split")[f],
-            }
             if self.sao:
                 arrays["sao"] = get("sao")[f]
-            arrays.update(densify_levels(get("counts")[f], pos, val))
             rbsps = self._entropy(arrays, idr=idr, poc=poc, qp=qp)
             ntype = NAL_IDR_W_RADL if idr else NAL_TRAIL_R
             data = b"".join(
@@ -534,13 +551,12 @@ class H265DeviceEncoder:
         self._ref = tuple(r[-1] for r in outs["p"]["recon"])
 
         for key in ("p", "b"):
-            names = ["is_intra", "mode", "mv", "tu_split", "counts",
-                     "nnz"]
+            pre = [outs[key]["packed"]]
             if self.sao:
-                names.append("sao")
-            for name in names:
+                pre.append(outs[key]["sao"])
+            for a in pre:
                 try:
-                    outs[key][name].copy_to_host_async()
+                    a.copy_to_host_async()
                 except AttributeError:
                     pass
 
@@ -570,41 +586,25 @@ class H265DeviceEncoder:
 
     def _pair_pending(self, outs, key, k, qp, qp_c, poc, get, cap,
                       run_ref, frames, source, fidx_b, fidx_p, i0):
-        from ceracoder_tpu.codec.h265.rowslice import densify_levels
         from ceracoder_tpu.codec.h265.syntax import NAL_TRAIL_N
-        from ceracoder_tpu.ops.h265 import LEVEL_CHUNK
 
         is_b = key == "b"
-        nchunks = len(outs[key]["pos_chunks"])
         recons = outs[key]["recon"]
 
         def finish() -> EncodedFrame:
             recon_dev = tuple(r[k] for r in recons)
-            nnz = int(get(key, "nnz")[k])
-            if nnz > cap:
+            row = get(key, "packed")[k]
+            nnz, arrays = self._unpack_row(
+                row, lambda name, c=None: get(key, name, c), k, cap,
+                with_mv1=is_b)
+            if arrays is None:
                 data = self._pair_fallback(outs, key, k, qp, qp_c,
                                            poc, run_ref, frames,
                                            source, fidx_b, fidx_p, i0)
                 return EncodedFrame(data=data, keyframe=False, qp=qp,
                                     _recon_dev=recon_dev)
-            need = max(1, -(-nnz // LEVEL_CHUNK))
-            pos = np.concatenate(
-                [get(key, "pos_chunks", c)[k] for c in range(need)])
-            val = np.concatenate(
-                [get(key, "val_chunks", c)[k] for c in range(need)])
-            arrays = {
-                "is_intra": get(key, "is_intra")[k],
-                "mode": get(key, "mode")[k].astype(np.int32),
-                "mv": get(key, "mv")[k].astype(np.int32),
-                "tu_split": get(key, "tu_split")[k],
-            }
-            if is_b:
-                arrays["mv1"] = np.asarray(
-                    outs[key]["mv1"][k]).astype(np.int32)
             if self.sao:
                 arrays["sao"] = get(key, "sao")[k]
-            arrays.update(densify_levels(get(key, "counts")[k],
-                                         pos, val))
             rbsps = self._entropy(arrays, idr=False, poc=poc, qp=qp,
                                   ref_delta=1 if is_b else 2,
                                   slice_type="B" if is_b else None)

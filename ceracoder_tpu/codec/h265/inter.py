@@ -398,9 +398,13 @@ def refine_subpel(cur_y: np.ndarray, planes: np.ndarray,
     cur = cur_y.astype(np.int64)
     mv_q = mv_full.astype(np.int32) * 4
     for step in (2, 1):
+        # quarter step refines over the plus shape only (first 5
+        # offsets); diagonals buy <0.05 dB after the 9-way half-pel
+        # stage but cost 80% more SATD work on the device twin
+        offs = SUBPEL_OFFS if step == 2 else SUBPEL_OFFS[:5]
         best_cost = np.full((nch, ncw), 1 << 60, np.int64)
         best_mv = mv_q.copy()
-        for dy, dx in SUBPEL_OFFS:
+        for dy, dx in offs:
             cand = mv_q + np.array([dy * step, dx * step], np.int32)
             pred = mc_luma_qpel(planes, cand, h, w)
             cost = satd8_frame(cur - pred)

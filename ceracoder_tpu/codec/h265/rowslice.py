@@ -400,15 +400,21 @@ def densify_levels(counts: np.ndarray, pos: np.ndarray,
                    val: np.ndarray) -> dict:
     """Rebuild dense per-CTB level arrays from the device's sparse
     stream (ops/h265._compact_levels layout: CTB-major, per CTB
-    [luma 256 | cb 64 | cr 64], pos = slot within that layout)."""
-    nch, ncw, _ = counts.shape
+    [luma 256 | cb 64 | cr 64], pos = slot within that layout).
+
+    counts may be per-CTB totals (nch, ncw) — the packed-transfer
+    format — or legacy per-TU (nch, ncw, 3); the stream is slot-
+    ordered within each CTB, so per-CTB totals plus pos fully
+    determine the dense layout."""
+    if counts.ndim == 3:
+        counts = counts.sum(-1)
+    nch, ncw = counts.shape
     n_ctb = nch * ncw
-    cnt = counts.reshape(n_ctb * 3).astype(np.int64)
+    cnt = counts.reshape(n_ctb).astype(np.int64)
     nnz = int(cnt.sum())
-    # flat slot index of every entry: TU base + in-layout position
-    tu_of = np.repeat(np.arange(n_ctb * 3), cnt)
-    base = (tu_of // 3) * 384
-    flat = base + pos[:nnz].astype(np.int64)
+    # flat slot index of every entry: CTB base + in-layout position
+    ctb_of = np.repeat(np.arange(n_ctb), cnt)
+    flat = ctb_of * 384 + pos[:nnz].astype(np.int64)
     dense = np.zeros(n_ctb * 384, np.int32)
     dense[flat] = val[:nnz]
     dense = dense.reshape(n_ctb, 384)

@@ -644,14 +644,18 @@ def _subpel_refine_local(cur_b, ph14):
         best = jnp.minimum(best, (cost << 4) | k)
     rank1 = best & 15
 
-    # step 2: quarter-pel; per-CU half winner h folded by 9-way select
+    # step 2: quarter-pel over the PLUS-shape candidates only
+    # (SUBPEL_OFFS[:5]; the numpy twin inter.refine_subpel matches).
+    # Diagonal quarter offsets buy <0.05 dB after a 9-way half-pel
+    # stage but cost 4 more SATDs and 36 more masked window reads —
+    # the rebase select chain below is the memory-bound core of the
+    # refine (each p14 build reads 9 candidate windows).
     best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
     preds14 = []
-    for k in range(9):
+    for k in range(5):
         oy, ox = int(_SUB_DY[k]), int(_SUB_DX[k])
         # 14-bit values are +-30855: the 9-way masked rebase runs in
         # the phase dtype (int16 since _window_phases14 stores int16)
-        # — this select chain is the memory-bound core of the refine
         p14 = jnp.zeros((nch, ncw, 16, 16), ph14.dtype)
         for k1 in range(9):
             hy = 2 * int(_SUB_DY[k1])
@@ -673,7 +677,7 @@ def _subpel_refine_local(cur_b, ph14):
         sel = rank1 == k1
         rel_y = rel_y + jnp.where(sel, 2 * int(_SUB_DY[k1]), 0)
         rel_x = rel_x + jnp.where(sel, 2 * int(_SUB_DX[k1]), 0)
-    for k in range(9):
+    for k in range(5):
         sel = rank2 == k
         rel_y = rel_y + jnp.where(sel, int(_SUB_DY[k]), 0)
         rel_x = rel_x + jnp.where(sel, int(_SUB_DX[k]), 0)
@@ -819,8 +823,9 @@ def _refine_subpel(cur, planes, mv_full, h: int, w: int):
             cost = _satd8_frame(cur - pred)
             return (cost << 4) | k, cand
 
-        keys, cands = zip(*[key_of(k) for k in range(9)])
-        keys = jnp.stack(keys)                    # (9, nch, ncw)
+        nk = 9 if step == 2 else 5     # quarter = plus shape only
+        keys, cands = zip(*[key_of(k) for k in range(nk)])
+        keys = jnp.stack(keys)                    # (nk, nch, ncw)
         cands = jnp.stack(cands)
         best = keys.argmin(0)
         mv_q = jnp.take_along_axis(
@@ -1577,18 +1582,80 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
     init = (ref_y, ref_u, ref_v)
     _, outs = jax.lax.scan(
         step, init, (ys, us, vs, idr_flags, qps, qpcs, frame_idx))
-    # split the level streams into independently transferable chunks
-    # (the caller copies only the chunks each frame actually filled)
-    n = idr_flags.shape[0]
-    nchunk = cap // LEVEL_CHUNK
-    pos = outs.pop("pos").reshape(n, nchunk, LEVEL_CHUNK)
-    val = outs.pop("val").reshape(n, nchunk, LEVEL_CHUNK)
-    outs["pos_chunks"] = tuple(pos[:, c] for c in range(nchunk))
-    outs["val_chunks"] = tuple(val[:, c] for c in range(nchunk))
-    return outs
+    return _pack_run_streams(outs, idr_flags.shape[0])
 
 
-LEVEL_CHUNK = 32768      # sparse-level entries per transfer chunk
+LEVEL_CHUNK = 6144       # sparse-level entries in chunk 0 / extra chunks
+
+
+def run_pack_layout(n_ctb: int, with_mv1: bool = False) -> dict:
+    """Byte offsets of each section in one frame's row of the packed
+    run-transfer buffer (_pack_run_streams). Sections are padded to
+    4-byte boundaries so host numpy views land aligned."""
+    def pad4(x):
+        return -(-x // 4) * 4
+
+    off = {"nnz": 0}
+    o = 4
+    off["meta"] = o
+    o += pad4(n_ctb)
+    off["counts"] = o
+    o += pad4(2 * n_ctb)
+    off["mv"] = o
+    o += pad4(2 * n_ctb)
+    if with_mv1:
+        off["mv1"] = o
+        o += pad4(2 * n_ctb)
+    off["lv0"] = o
+    o += 4 * LEVEL_CHUNK
+    off["total"] = o
+    return off
+
+
+def _pack_run_streams(d, n, with_mv1: bool = False):
+    """Fuse the per-run transfer set into ONE uint8 buffer per frame.
+
+    The axon device tunnel charges ~25 ms fixed latency per transfer
+    regardless of size, so six small per-run arrays cost ~150 ms while
+    one packed buffer costs ~30 ms. Layout per frame row (offsets from
+    run_pack_layout): nnz int32 | meta uint8 (bit7 is_intra, bit6
+    tu_split, low bits intra mode) | per-CTB nonzero level counts
+    uint16 | mv int8 pairs | [mv1 int8 pairs] | level chunk 0 as
+    interleaved (pos, val) int16. Per-TU counts are NOT transferred:
+    the level stream is slot-ordered within each CTB, so per-CTB
+    totals + the pos values reconstruct the dense layout on the host
+    (codec/h265/rowslice.densify_levels). Level entries beyond
+    LEVEL_CHUNK stay in separate (n, LEVEL_CHUNK, 2) int16 chunks,
+    transferred only for frames that overflow chunk 0."""
+    nch, ncw = d["is_intra"].shape[1:3]
+    n_ctb = nch * ncw
+
+    def u8(a):
+        return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(n, -1)
+
+    def pad4(a):
+        return jnp.pad(a, ((0, 0), (0, (-a.shape[1]) % 4)))
+
+    meta = ((d.pop("is_intra").astype(jnp.uint8) << 7)
+            | (d.pop("tu_split").astype(jnp.uint8) << 6)
+            | d.pop("mode").astype(jnp.uint8))
+    counts = d.pop("counts").reshape(n, n_ctb, -1).sum(-1)
+    parts = [u8(d["nnz"].astype(jnp.int32).reshape(n, 1)),
+             pad4(meta.reshape(n, n_ctb)),
+             pad4(u8(counts.astype(jnp.uint16))),
+             pad4(u8(d.pop("mv").reshape(n, -1)))]
+    if with_mv1:
+        parts.append(pad4(u8(d.pop("mv1").reshape(n, -1))))
+    pos = d.pop("pos").reshape(n, -1)
+    val = d.pop("val").reshape(n, -1)
+    parts.append(u8(jnp.stack([pos[:, :LEVEL_CHUNK],
+                               val[:, :LEVEL_CHUNK]], axis=-1)))
+    d["packed"] = jnp.concatenate(parts, axis=1)
+    d["lv_chunks"] = tuple(
+        jnp.stack([pos[:, s:s + LEVEL_CHUNK],
+                   val[:, s:s + LEVEL_CHUNK]], axis=-1)
+        for s in range(LEVEL_CHUNK, pos.shape[1], LEVEL_CHUNK))
+    return d
 
 
 @partial(jax.jit,
@@ -1670,14 +1737,11 @@ def encode_run_pairs(ybs, ubs, vbs, yps, ups, vps,
         step, (ref_y, ref_u, ref_v),
         (ybs, ubs, vbs, yps, ups, vps, qps_b, qpcs_b, qps_p, qpcs_p,
          fidx_b, fidx_p))
-    # chunk the level streams like encode_run_rows
+    # pack the transfer set like encode_run_rows (B rows add mv1)
     n = qps_b.shape[0]
-    nchunk = cap // LEVEL_CHUNK
     for key in ("p", "b"):
-        pos = outs[key].pop("pos").reshape(n, nchunk, LEVEL_CHUNK)
-        val = outs[key].pop("val").reshape(n, nchunk, LEVEL_CHUNK)
-        outs[key]["pos_chunks"] = tuple(pos[:, c] for c in range(nchunk))
-        outs[key]["val_chunks"] = tuple(val[:, c] for c in range(nchunk))
+        outs[key] = _pack_run_streams(outs[key], n,
+                                      with_mv1=(key == "b"))
     return outs
 
 
