@@ -400,7 +400,9 @@ def refine_subpel(cur_y: np.ndarray, planes: np.ndarray,
     for step in (2, 1):
         # quarter step refines over the plus shape only (first 5
         # offsets); diagonals buy <0.05 dB after the 9-way half-pel
-        # stage but cost 80% more SATD work on the device twin
+        # stage but cost 80% more SATD work on the device twin.
+        # (Narrowing the HALF step too costs >2 dB on panning
+        # content — measured, do not.)
         offs = SUBPEL_OFFS if step == 2 else SUBPEL_OFFS[:5]
         best_cost = np.full((nch, ncw), 1 << 60, np.int64)
         best_mv = mv_q.copy()

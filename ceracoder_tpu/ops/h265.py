@@ -635,7 +635,10 @@ def _subpel_refine_local(cur_b, ph14):
         # at the load so all arithmetic stays int32 (axon-safe)
         return ph14[:, :, p, sy:sy + 16, sx:sx + 16].astype(jnp.int32)
 
-    # step 1: half-pel (static phases per candidate)
+    # step 1: half-pel (static phases per candidate). All 9 offsets:
+    # dropping the diagonals here costs >2 dB on panning content
+    # (measured on the rd_compare pan clip) — the half grid is where
+    # diagonal motion is captured.
     best = jnp.full((nch, ncw), jnp.iinfo(jnp.int32).max, jnp.int32)
     for k in range(9):
         ey, ex = 2 * int(_SUB_DY[k]), 2 * int(_SUB_DX[k])
