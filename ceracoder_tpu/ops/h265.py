@@ -443,11 +443,23 @@ def _coarse_search_dev(cur_h, ref_h_pad):
     pad = COARSE_RANGE
     n_off = len(_C_OFFS)                               # 81 = 3 * 27
 
+    # column-group sums ride the MXU: rows (nbh, w) @ bsel (w, nbw)
+    # with a 0/1 block-diagonal selector. Values are integers
+    # <= 16320 < 2^24, exact in f32 — the (nbh, 8, nbw, 8) reshape-
+    # reduce form leaves the 8-wide minor dim on the lanes and runs
+    # ~5x slower.
+    bsel = jnp.equal(jnp.arange(w, dtype=jnp.int32)[:, None] // 8,
+                     jnp.arange(nbw, dtype=jnp.int32)[None, :]
+                     ).astype(jnp.float32)
+
     def one(off_idx, dy, dx):
         sh = jax.lax.dynamic_slice(ref_h_pad, (dy + pad, dx + pad),
                                    (h, w))
-        sad = jnp.abs(cur_h - sh).reshape(nbh, 8, nbw, 8).sum(
-            (1, 3), dtype=jnp.int32)
+        rows = jnp.abs(cur_h - sh).reshape(nbh, 8, w).sum(
+            1, dtype=jnp.int32)                        # (nbh, w)
+        sad = jax.lax.dot(rows.astype(jnp.float32), bsel,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(jnp.int32)
         return (sad << 7) | off_idx                    # sad <= 16320
 
     chunk = 27
@@ -510,6 +522,84 @@ def _window_canvas_dev(ref_pad, off_yx, blk: int, win: int, orig: int,
     return e.transpose(0, 2, 1, 3)                     # (nch,ncw,W,W)
 
 
+def _blocks_t(x, n: int):
+    """(H, W) -> (n, n, nch, ncw) CU-TRAILING tiles. The lane (minor)
+    dimension is ncw — 120 at 1080p, ~94% of the 128 VPU lanes —
+    instead of the window width (16/17/24/26, <= 20% lane use). All
+    hot per-CU motion tensors use this layout."""
+    h, w = x.shape
+    return x.reshape(h // n, n, w // n, n).transpose(1, 3, 0, 2)
+
+
+def _unblocks_t(b):
+    """(n, n, nch, ncw) -> (H, W)."""
+    n, _, nch, ncw = b.shape
+    return b.transpose(2, 0, 3, 1).reshape(nch * n, ncw * n)
+
+
+def _window_canvas_t(ref_pad, off_yx, blk: int, win: int, orig: int,
+                     lo: int, hi: int, pad: int):
+    """CU-trailing window canvas (layout twin of _window_canvas_dev):
+
+      E[wy, wx, cy, cx] =
+        ref_pad[cy*blk + off_y + wy + orig + pad,
+                cx*blk + off_x + wx + orig + pad]
+
+    Same two static strided re-tilings + masked shift-selects, but
+    with (nch, ncw) trailing so every select is lane-aligned and the
+    (nch, ncw) masks broadcast with no reshapes."""
+    nch, ncw = off_yx.shape[:2]
+    s_count = hi - lo + 1
+    t_len = s_count - 1 + win
+    a0 = lo + orig + pad
+
+    # x re-tile: F[t, y, cx] = ref_pad[y, cx*blk + t + a0]
+    f = jnp.stack([ref_pad[:, a0 + t: a0 + t + ncw * blk: blk]
+                   for t in range(t_len)], axis=0)     # (T, Hp, ncw)
+    # y re-tile: D[ty, t, cy, cx] = F[t, cy*blk + ty + a0, cx]
+    d = jnp.stack([f[:, a0 + ty: a0 + ty + nch * blk: blk]
+                   for ty in range(t_len)], axis=0)    # (Ty,T,nch,ncw)
+
+    sy = off_yx[..., 0] - lo                           # (nch, ncw)
+    sx = off_yx[..., 1] - lo
+    a = jnp.zeros((win, t_len, nch, ncw), d.dtype)
+    for s in range(s_count):
+        a = a + jnp.where(sy == s, d[s:s + win], 0)
+    e = jnp.zeros((win, win, nch, ncw), d.dtype)
+    for s in range(s_count):
+        e = e + jnp.where(sx == s, a[:, s:s + win], 0)
+    return e                                           # (W,W,nch,ncw)
+
+
+def _satd8_t(d):
+    """8x8 Hadamard SATD per CU, CU-trailing layout: d (16, 16, ...)
+    with |d| <= 255 -> (...) int32. Value-equal to _satd8_blocks_bf
+    (same butterflies, axes permuted); int16 stages stay within
+    +-16320."""
+    tail = d.shape[2:]
+    x = d.astype(jnp.int16).reshape(2, 8, 2, 8, *tail)
+
+    def stage(t, axis, half):
+        n = t.shape[axis]
+        sl = [slice(None)] * t.ndim
+        outs = []
+        for s in range(0, n, 2 * half):
+            sl[axis] = slice(s, s + half)
+            a = t[tuple(sl)]
+            sl[axis] = slice(s + half, s + 2 * half)
+            b = t[tuple(sl)]
+            outs.append(a + b)
+            outs.append(a - b)
+        return jnp.concatenate(outs, axis=axis)
+
+    for half in (4, 2, 1):
+        x = stage(x, 1, half)
+    for half in (4, 2, 1):
+        x = stage(x, 3, half)
+    s8 = jnp.abs(x).sum((1, 3), dtype=jnp.int32) >> 2  # (2, 2, ...)
+    return s8.sum((0, 1))
+
+
 def _satd8_blocks_bf(d):
     """8x8 Hadamard SATD per 16x16 block via add/sub butterflies
     (value-equal to _satd8_blocks; avoids tiny 8x8 matmuls).
@@ -541,26 +631,27 @@ def _satd8_blocks_bf(d):
     return s8.sum((-1, -2))
 
 
-def _fullpel_refine_dev(cur_b, e):
-    """+-1 full-pel SAD refine from the window canvas. cur_b
-    (nch, ncw, 16, 16); e (nch, ncw, 26, 26) with the full-pel block
-    at rows/cols [5:21]. Tie order = SUBPEL_OFFS (earlier wins).
-    Returns (d_yx, w24): the chosen offset and the 24x24 window
-    re-based at it (origin -4 relative to the refined MV)."""
-    cur16 = cur_b.astype(e.dtype)
-    best = jnp.full(cur_b.shape[:2], jnp.iinfo(jnp.int32).max,
+def _fullpel_refine_dev(cur_t, e):
+    """+-1 full-pel SAD refine from the window canvas (CU-trailing
+    layout). cur_t (16, 16, nch, ncw); e (26, 26, nch, ncw) with the
+    full-pel block at rows/cols [5:21]. Tie order = SUBPEL_OFFS
+    (earlier wins). Returns (d_yx, w24): the chosen offset and the
+    24x24 window re-based at it (origin -4 relative to the refined
+    MV)."""
+    cur16 = cur_t.astype(e.dtype)
+    best = jnp.full(cur_t.shape[2:], jnp.iinfo(jnp.int32).max,
                     jnp.int32)
     for k in range(9):
         dy, dx = int(_SUB_DY[k]), int(_SUB_DX[k])
-        blk = e[:, :, 5 + dy:21 + dy, 5 + dx:21 + dx]
+        blk = e[5 + dy:21 + dy, 5 + dx:21 + dx]
         # abs-diff in the canvas dtype (int16: <= 255), row sums
-        # <= 16*255 still fit; accumulate the final axis in int32
-        sad = jnp.abs(cur16 - blk).sum(-1).sum(-1, dtype=jnp.int32)
+        # <= 16*255 still fit; accumulate the final sum in int32
+        sad = jnp.abs(cur16 - blk).sum(0).sum(0, dtype=jnp.int32)
         best = jnp.minimum(best, (sad << 4) | k)
     rank = best & 15
     dy = jnp.zeros_like(rank)
     dx = jnp.zeros_like(rank)
-    w24 = jnp.zeros(e.shape[:2] + (24, 24), e.dtype)
+    w24 = jnp.zeros((24, 24) + e.shape[2:], e.dtype)
     for k in range(9):
         sel = rank == k
         ody, odx = int(_SUB_DY[k]), int(_SUB_DX[k])
@@ -569,8 +660,7 @@ def _fullpel_refine_dev(cur_b, e):
         if odx:
             dx = jnp.where(sel, odx, dx)
         w24 = w24 + jnp.where(
-            sel[..., None, None],
-            e[:, :, 1 + ody:25 + ody, 1 + odx:25 + odx], 0)
+            sel, e[1 + ody:25 + ody, 1 + odx:25 + odx], 0)
     return jnp.stack([dy, dx], axis=-1), w24
 
 
@@ -579,7 +669,8 @@ def _window_phases14(w24):
     precision (spec 8.5.4.2.2.1; acc >> 6 like luma_qpel_planes14).
     Phase index c of the 17-wide output corresponds to integer offset
     c - 1 relative to the window's full-pel MV.
-    w24 (nch, ncw, 24, 24) int32 -> (nch, ncw, 16, 17, 17) int32."""
+    w24 (24, 24, nch, ncw) -> (16, 17, 17, nch, ncw) int16 (CU-
+    trailing layout)."""
     from ceracoder_tpu.codec.h265.tables import LUMA_FILTER
 
     # NOTE: running the FILTER ARITHMETIC in int16 is value-exact on
@@ -595,10 +686,10 @@ def _window_phases14(w24):
     tmps = []
     for fx in range(4):
         if fx == 0:
-            tmps.append(w32[..., :, 3:20] * 64)
+            tmps.append(w32[:, 3:20] * 64)
         else:
             th = [int(t) for t in LUMA_FILTER[fx]]
-            tmps.append(sum(th[k] * w32[..., :, k:k + 17]
+            tmps.append(sum(th[k] * w32[:, k:k + 17]
                             for k in range(8)))
     phases = []
     for fy in range(4):
@@ -607,33 +698,37 @@ def _window_phases14(w24):
             tmp = tmps[fx]
             if fy == 0:
                 # (tmp * 64) >> 6 == tmp exactly
-                acc = tmp[..., 3:20, :]
+                acc = tmp[3:20]
             else:
-                acc = sum(tv[k] * tmp[..., k:k + 17, :]
+                acc = sum(tv[k] * tmp[k:k + 17]
                           for k in range(8)) >> 6
             phases.append(acc.astype(jnp.int16))
-    return jnp.stack(phases, axis=2)                   # (...,16,17,17)
+    return jnp.stack(phases, axis=0)               # (16,17,17,nch,ncw)
 
 
 def _pred8_from14(p14):
     return jnp.clip((p14 + 32) >> 6, 0, 255)
 
 
-def _subpel_refine_local(cur_b, ph14):
+def _subpel_refine_local(cur_t, ph14):
     """Half- then quarter-pel SATD refinement on the per-CU phase
-    tensors (no gathers). Candidate order and strictly-better rule
-    match inter.refine_subpel. Returns (rel_q, pred14): the chosen
-    qpel offset relative to the window's full-pel MV (components in
-    [-3, 3]) and the winning 14-bit prediction blocks."""
-    nch, ncw = cur_b.shape[:2]
+    tensors (no gathers; CU-trailing layout). Candidate order and
+    strictly-better rule match inter.refine_subpel. cur_t
+    (16, 16, nch, ncw); ph14 (16, 17, 17, nch, ncw) int16. Returns
+    (rel_q, pred14): the chosen qpel offset relative to the window's
+    full-pel MV (components in [-3, 3]) and the winning 14-bit
+    prediction blocks (16, 16, nch, ncw)."""
+    nch, ncw = cur_t.shape[2:]
 
-    def cand_slice14(fy: int, fx: int):
+    def cand_raw(fy: int, fx: int):
         p = ((fy & 3) << 2) | (fx & 3)
         sy = (fy >> 2) + 1
         sx = (fx >> 2) + 1
-        # ph14 is STORED int16 (see _window_phases14); upcast right
-        # at the load so all arithmetic stays int32 (axon-safe)
-        return ph14[:, :, p, sy:sy + 16, sx:sx + 16].astype(jnp.int32)
+        return ph14[p, sy:sy + 16, sx:sx + 16]        # int16 stored
+
+    def cand_slice14(fy: int, fx: int):
+        # upcast right at the load so arithmetic is int32 (axon-safe)
+        return cand_raw(fy, fx).astype(jnp.int32)
 
     # step 1: half-pel (static phases per candidate). All 9 offsets:
     # dropping the diagonals here costs >2 dB on panning content
@@ -643,7 +738,7 @@ def _subpel_refine_local(cur_b, ph14):
     for k in range(9):
         ey, ex = 2 * int(_SUB_DY[k]), 2 * int(_SUB_DX[k])
         pred8 = _pred8_from14(cand_slice14(ey, ex))
-        cost = _satd8_blocks_bf(cur_b - pred8)
+        cost = _satd8_t(cur_t - pred8)
         best = jnp.minimum(best, (cost << 4) | k)
     rank1 = best & 15
 
@@ -658,24 +753,23 @@ def _subpel_refine_local(cur_b, ph14):
     for k in range(5):
         oy, ox = int(_SUB_DY[k]), int(_SUB_DX[k])
         # 14-bit values are +-30855: the 9-way masked rebase runs in
-        # the phase dtype (int16 since _window_phases14 stores int16)
-        p14 = jnp.zeros((nch, ncw, 16, 16), ph14.dtype)
+        # the stored phase dtype (int16) — exactly one mask is true
+        # per CU so no sum overflows
+        p14 = jnp.zeros((16, 16, nch, ncw), ph14.dtype)
         for k1 in range(9):
             hy = 2 * int(_SUB_DY[k1])
             hx = 2 * int(_SUB_DX[k1])
-            p14 = p14 + jnp.where(
-                (rank1 == k1)[..., None, None],
-                cand_slice14(hy + oy, hx + ox),
-                jnp.zeros((), ph14.dtype))
+            p14 = p14 + jnp.where(rank1 == k1,
+                                  cand_raw(hy + oy, hx + ox),
+                                  jnp.zeros((), ph14.dtype))
         preds14.append(p14)
-        cost = _satd8_blocks_bf(cur_b - _pred8_from14(p14)
-                                .astype(jnp.int32))
+        cost = _satd8_t(cur_t - _pred8_from14(p14).astype(jnp.int32))
         best = jnp.minimum(best, (cost << 4) | k)
     rank2 = best & 15
 
     rel_y = jnp.zeros((nch, ncw), jnp.int32)
     rel_x = jnp.zeros((nch, ncw), jnp.int32)
-    pred14 = jnp.zeros((nch, ncw, 16, 16), ph14.dtype)
+    pred14 = jnp.zeros((16, 16, nch, ncw), ph14.dtype)
     for k1 in range(9):
         sel = rank1 == k1
         rel_y = rel_y + jnp.where(sel, 2 * int(_SUB_DY[k1]), 0)
@@ -684,8 +778,7 @@ def _subpel_refine_local(cur_b, ph14):
         sel = rank2 == k
         rel_y = rel_y + jnp.where(sel, int(_SUB_DY[k]), 0)
         rel_x = rel_x + jnp.where(sel, int(_SUB_DX[k]), 0)
-        pred14 = pred14 + jnp.where(sel[..., None, None],
-                                    preds14[k], 0)
+        pred14 = pred14 + jnp.where(sel, preds14[k], 0)
     return jnp.stack([rel_y, rel_x], axis=-1), pred14
 
 
@@ -693,7 +786,8 @@ def _motion_luma_dev(cur, ref_pad, pad: int):
     """Full luma motion pipeline: hierarchical full-pel search +
     window-local subpel refine and MC. cur (H, W) int32; ref_pad
     padded by `pad` >= LUMA_SRC_PAD on every side. Returns
-    (mv_q (nch, ncw, 2), pred14 blocks (nch, ncw, 16, 16))."""
+    (mv_q (nch, ncw, 2), pred14 blocks (16, 16, nch, ncw) —
+    CU-trailing layout; _unblocks_t restores the plane)."""
     h, w = cur.shape
     # int16 halves the coarse stage's HBM traffic (values <= 255 and
     # the 8x8 SAD accumulates in int32)
@@ -705,14 +799,14 @@ def _motion_luma_dev(cur, ref_pad, pad: int):
 
     # int16 canvas: samples are 8-bit, and the canvas select chain is
     # pure HBM traffic (measured 1.36 -> 0.66 ms at 1080p)
-    e = _window_canvas_dev(ref_pad.astype(jnp.int16), mv0, blk=CTB,
-                           win=WIN_L, orig=-5,
-                           lo=-(MV_FULL_MAX - 1), hi=MV_FULL_MAX - 1,
-                           pad=pad)
-    cur_b = _blocks(cur, CTB)
-    d_yx, w24 = _fullpel_refine_dev(cur_b, e)
+    e = _window_canvas_t(ref_pad.astype(jnp.int16), mv0, blk=CTB,
+                         win=WIN_L, orig=-5,
+                         lo=-(MV_FULL_MAX - 1), hi=MV_FULL_MAX - 1,
+                         pad=pad)
+    cur_t = _blocks_t(cur, CTB)
+    d_yx, w24 = _fullpel_refine_dev(cur_t, e)
     ph14 = _window_phases14(w24)
-    rel_q, pred14 = _subpel_refine_local(cur_b, ph14)
+    rel_q, pred14 = _subpel_refine_local(cur_t, ph14)
     mv_q = 4 * (mv0 + d_yx) + rel_q
     return mv_q, pred14
 
@@ -1343,8 +1437,8 @@ def _p_frame_core_padded(y, u, v, ref_y_pad, ref_u_pad, ref_v_pad,
     u = u.astype(jnp.int32)
     v = v.astype(jnp.int32)
 
-    mv_q, pred14_b = _motion_luma_dev(y, ref_y_pad, LUMA_SRC_PAD)
-    pred_y = _unblocks(_pred8_from14(pred14_b))
+    mv_q, pred14_t = _motion_luma_dev(y, ref_y_pad, LUMA_SRC_PAD)
+    pred_y = _unblocks_t(_pred8_from14(pred14_t.astype(jnp.int32)))
     pred_u = _mc_chroma_window(ref_u_pad, mv_q, CHROMA_PAD)
     pred_v = _mc_chroma_window(ref_v_pad, mv_q, CHROMA_PAD)
 
@@ -1374,9 +1468,9 @@ def _b_frame_core(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, qp_c,
                          mode="edge")
         ru_pad = jnp.pad(jnp.asarray(ru), CHROMA_PAD, mode="edge")
         rv_pad = jnp.pad(jnp.asarray(rv), CHROMA_PAD, mode="edge")
-        mv_q, p14_b = _motion_luma_dev(y, ry_pad, LUMA_SRC_PAD)
+        mv_q, p14_t = _motion_luma_dev(y, ry_pad, LUMA_SRC_PAD)
         mvs.append(mv_q)
-        preds14.append(_unblocks(p14_b))
+        preds14.append(_unblocks_t(p14_t.astype(jnp.int32)))
         pu14.append(_mc_chroma_window(ru_pad, mv_q, CHROMA_PAD,
                                       out14=True))
         pv14.append(_mc_chroma_window(rv_pad, mv_q, CHROMA_PAD,
