@@ -32,9 +32,12 @@ from ceracoder_tpu.utils.jaxenv import setup_jax
 
 setup_jax()
 
-RUN = 15          # frames per fused dispatch (250 ms at 60 fps)
+RUN = 10          # frames per fused dispatch (167 ms at 60 fps)
 GOP = 60
-N = 120           # timed frames
+N = 240           # timed frames
+DEPTH = 5         # runs in flight (measured sweep: 10/5 beats 15/2 —
+                  # smaller runs overlap dispatch+transfer+entropy
+                  # with device compute better; 64.8 vs 61.0 fps)
 
 
 def bench_encoder(make_encoder, w, h):
@@ -59,9 +62,9 @@ def bench_encoder(make_encoder, w, h):
     for s in range(N // RUN):
         idx = range(s * RUN, (s + 1) * RUN)
         q.append(enc2.encode_run_async(source=src, indices=idx))
-        # keep two runs in flight (hides the dispatch+sync round
+        # keep DEPTH runs in flight (hides the dispatch+sync round
         # trip), collect the oldest while the newer ones compute
-        if len(q) > 2:
+        if len(q) > DEPTH:
             nbytes += sum(len(p.result().data) for p in q.popleft())
     while q:
         nbytes += sum(len(p.result().data) for p in q.popleft())
