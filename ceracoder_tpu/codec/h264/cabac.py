@@ -7,7 +7,16 @@ identical rangeTabLPS, state machine, renormalization, and termination
 (HEVC spec 9.3.4 is the H.264 9.3.4 engine) — only the context
 initialization input differs: H.264 supplies (m, n) pairs per ctxIdx
 (cabac_init_tables.py, extracted from libavcodec's normative tables)
-instead of HEVC's packed initValue.
+instead of HEVC's packed initValue. Note libavcodec's .rodata lays the
+four init tables out [PB0][PB1][PB2][I] — and the I table stores 0 for
+contexts I slices never touch (11..23); the extractor identifies each
+block by its mb_skip ctx-11 content, never by position.
+
+Validated two ways against the reference entropy coder: (a) the decode
+twin (cabac_dec.H264SliceParser) walks real libx264 streams over the
+full MB repertoire to exact byte consumption, and (b) multi-MB,
+multi-frame streams from this encoder reconstruct bit-exact through
+the libavcodec oracle (tests/test_h264_cabac.py).
 
 Slice model: one slice per MB row (the encoder's schedule, matching
 the CAVLC path and HEVC rowslice.py) — so every "above" neighbor is

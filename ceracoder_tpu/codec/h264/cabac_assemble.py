@@ -7,9 +7,17 @@ mode (reference: bindings/typescript/src/pipeline/generic-builder.ts:
 49-55); the compute path (ops/intra.py, ops/inter.py) is unchanged —
 only the entropy coding differs from the CAVLC path, so recon and the
 oracle conformance carry over.
+
+Two implementations of the row coder: the Python executable spec
+(cabac.H264RowCabac) and the threaded C++ production path
+(native/src/h264_cabac.cc, byte-identical by test). The native path is
+used when the library is available.
 """
 
 from __future__ import annotations
+
+import ctypes
+import os
 
 import numpy as np
 
@@ -25,16 +33,88 @@ from ceracoder_tpu.codec.h264.syntax import (
 )
 
 
-def _slice_nal(cfg: SliceConfig, cab: H264RowCabac, idr: bool,
-               first: bool) -> bytes:
+def _row_cfg(row: int, mbw: int, qp: int, pic_init_qp: int,
+             deblock: bool, intra: bool, frame_num: int,
+             idr_pic_id: int) -> SliceConfig:
+    return SliceConfig(
+        first_mb=row * mbw,
+        slice_type=SLICE_I_ALL if intra else SLICE_P_ALL,
+        frame_num=0 if intra else frame_num,
+        idr=intra, idr_pic_id=idr_pic_id, qp=qp,
+        pic_init_qp=pic_init_qp,
+        deblock_idc=2 if deblock else 1, cabac=True)
+
+
+def _hdr_bytes(cfg: SliceConfig) -> bytes:
     w = write_slice_header(cfg)
     # cabac_alignment_one_bit (7.3.4): '1's to the byte boundary
     pad = (-w.bit_length) % 8
     if pad:
         w.u((1 << pad) - 1, pad)
-    payload = w.to_bytes() + cab.finish()
+    return w.to_bytes()
+
+
+def _slice_nal(hdr: bytes, payload: bytes, idr: bool,
+               first: bool) -> bytes:
     return nal_unit(3 if idr else 2, NAL_IDR if idr else NAL_SLICE,
-                    payload, long_start_code=first)
+                    hdr + payload, long_start_code=first)
+
+
+def _native_rows(intra: bool, qp: int, mbh: int, mbw: int,
+                 hdrs: list[bytes], arrays: dict) -> list[bytes] | None:
+    from ceracoder_tpu import native
+    lib = native.load()
+    if lib is None or not hasattr(lib, "h264_cabac_rows"):
+        return None
+    stride = max(len(h) for h in hdrs)
+    hb = np.zeros((mbh, stride), np.uint8)
+    hs = np.zeros(mbh, np.int32)
+    for r, h in enumerate(hdrs):
+        hb[r, :len(h)] = np.frombuffer(h, np.uint8)
+        hs[r] = len(h)
+
+    def c16(a):
+        return np.ascontiguousarray(a, np.int16)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None \
+            else None
+
+    cap = max(1 << 16, mbh * mbw * 2048)
+    out = np.zeros(cap, np.uint8)
+    sizes = np.zeros(mbh, np.int32)
+    nthreads = min(mbh, os.cpu_count() or 1)
+    if intra:
+        mode_l = np.ascontiguousarray(arrays["mode_l"], np.int32)
+        mode_c = np.ascontiguousarray(arrays["mode_c"], np.int32)
+        dc_luma = c16(arrays["dc_luma"])
+        ac_luma = c16(arrays["ac_luma"])
+        dc_chroma = c16(arrays["dc_chroma"])
+        ac_chroma = c16(arrays["ac_chroma"])
+        n = lib.h264_cabac_rows(
+            mbh, mbw, 1, 0, qp, p(hb), p(hs), stride,
+            p(mode_l), p(mode_c), p(dc_luma), p(ac_luma),
+            None, None, None, p(dc_chroma), p(ac_chroma),
+            p(out), cap, p(sizes), nthreads)
+    else:
+        skip = np.ascontiguousarray(arrays["skip"], np.uint8)
+        mvd = np.ascontiguousarray(arrays["mvd"], np.int32)
+        luma_lv = c16(arrays["luma_lv"])
+        dc_chroma = c16(arrays["dc_chroma"])
+        ac_chroma = c16(arrays["ac_chroma"])
+        n = lib.h264_cabac_rows(
+            mbh, mbw, 0, 0, qp, p(hb), p(hs), stride,
+            None, None, None, None, p(skip), p(mvd), p(luma_lv),
+            p(dc_chroma), p(ac_chroma), p(out), cap, p(sizes),
+            nthreads)
+    if n < 0:
+        return None
+    rows = []
+    off = 0
+    for r in range(mbh):
+        rows.append(out[off:off + int(sizes[r])].tobytes())
+        off += int(sizes[r])
+    return rows
 
 
 def assemble_i_cabac(outs: dict, qp: int, idr_pic_id: int, mbh: int,
@@ -48,27 +128,36 @@ def assemble_i_cabac(outs: dict, qp: int, idr_pic_id: int, mbh: int,
     mode_c = np.asarray(outs["mode_chroma"]).reshape(mbh, mbw)
     sr, sc = snake[:, 0], snake[:, 1]
 
-    nals = []
-    for row in range(mbh):
-        cab = H264RowCabac(qp, intra_slice=True)
-        for col in range(mbw):
-            acs = ac_luma[row, col][sr, sc]        # (16, 15) snake
-            cbp_luma = 15 if (acs != 0).any() else 0
-            cacs = ac_chroma[row, col].reshape(2, 4, 15)
-            cdc = dc_chroma[row, col]
-            cbp_chroma = (2 if (cacs != 0).any()
-                          else (1 if (cdc != 0).any() else 0))
-            cab.mb_i16(int(mode_l[row, col]), int(mode_c[row, col]),
-                       0, cbp_luma, cbp_chroma,
-                       dc_luma[row, col], acs, cdc, cacs)
-            cab.end_of_slice(col == mbw - 1)
-        cfg = SliceConfig(
-            first_mb=row * mbw, slice_type=SLICE_I_ALL, frame_num=0,
-            idr=True, idr_pic_id=idr_pic_id, qp=qp,
-            pic_init_qp=pic_init_qp,
-            deblock_idc=2 if deblock else 1, cabac=True)
-        nals.append(_slice_nal(cfg, cab, idr=True, first=(row == 0)))
-    return b"".join(nals)
+    hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
+                                True, 0, idr_pic_id))
+            for r in range(mbh)]
+    # snake-order AC blocks once for both paths
+    acs_all = ac_luma[:, :, sr, sc]                # (mbh, mbw, 16, 15)
+    rows = _native_rows(True, qp, mbh, mbw, hdrs, {
+        "mode_l": mode_l, "mode_c": mode_c, "dc_luma": dc_luma,
+        "ac_luma": acs_all,
+        "dc_chroma": dc_chroma,
+        "ac_chroma": ac_chroma.reshape(mbh, mbw, 2, 4, 15)})
+    if rows is None:
+        rows = []
+        for row in range(mbh):
+            cab = H264RowCabac(qp, intra_slice=True)
+            for col in range(mbw):
+                acs = acs_all[row, col]
+                cbp_luma = 15 if (acs != 0).any() else 0
+                cacs = ac_chroma[row, col].reshape(2, 4, 15)
+                cdc = dc_chroma[row, col]
+                cbp_chroma = (2 if (cacs != 0).any()
+                              else (1 if (cdc != 0).any() else 0))
+                cab.mb_i16(int(mode_l[row, col]),
+                           int(mode_c[row, col]),
+                           0, cbp_luma, cbp_chroma,
+                           dc_luma[row, col], acs, cdc, cacs)
+                cab.end_of_slice(col == mbw - 1)
+            rows.append(hdrs[row] + cab.finish())
+    return b"".join(
+        _slice_nal(b"", rows[r], idr=True, first=(r == 0))
+        for r in range(mbh))
 
 
 def assemble_p_cabac(outs: dict, qp: int, frame_num: int, mbh: int,
@@ -98,25 +187,32 @@ def assemble_p_cabac(outs: dict, qp: int, frame_num: int, mbh: int,
     mvd = mvg - pmv
     skip = (mvg[..., 0] == 0) & (mvg[..., 1] == 0) & (cbp == 0)
 
-    nals = []
-    for row in range(mbh):
-        cab = H264RowCabac(qp, intra_slice=False)
-        for col in range(mbw):
-            if skip[row, col]:
-                cab.mb_skip()
-            else:
-                blocks = ll[row, col][sr, sc]      # (16, 16) snake
-                cab.mb_p16(
-                    (int(mvd[row, col, 0]), int(mvd[row, col, 1])),
-                    0, int(cbp_luma[row, col]),
-                    int(cbp_chroma[row, col]), blocks,
-                    dc_chroma[row, col],
-                    ac_chroma[row, col].reshape(2, 4, 15))
-            cab.end_of_slice(col == mbw - 1)
-        cfg = SliceConfig(
-            first_mb=row * mbw, slice_type=SLICE_P_ALL,
-            frame_num=frame_num, idr=False, qp=qp,
-            pic_init_qp=pic_init_qp,
-            deblock_idc=2 if deblock else 1, cabac=True)
-        nals.append(_slice_nal(cfg, cab, idr=False, first=(row == 0)))
-    return b"".join(nals)
+    hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
+                                False, frame_num, 0))
+            for r in range(mbh)]
+    blocks_all = ll[:, :, sr, sc]                  # (mbh, mbw, 16, 16)
+    rows = _native_rows(False, qp, mbh, mbw, hdrs, {
+        "skip": skip, "mvd": mvd, "luma_lv": blocks_all,
+        "dc_chroma": dc_chroma,
+        "ac_chroma": ac_chroma.reshape(mbh, mbw, 2, 4, 15)})
+    if rows is None:
+        rows = []
+        for row in range(mbh):
+            cab = H264RowCabac(qp, intra_slice=False)
+            for col in range(mbw):
+                if skip[row, col]:
+                    cab.mb_skip()
+                else:
+                    cab.mb_p16(
+                        (int(mvd[row, col, 0]),
+                         int(mvd[row, col, 1])),
+                        0, int(cbp_luma[row, col]),
+                        int(cbp_chroma[row, col]),
+                        blocks_all[row, col],
+                        dc_chroma[row, col],
+                        ac_chroma[row, col].reshape(2, 4, 15))
+                cab.end_of_slice(col == mbw - 1)
+            rows.append(hdrs[row] + cab.finish())
+    return b"".join(
+        _slice_nal(b"", rows[r], idr=False, first=(r == 0))
+        for r in range(mbh))

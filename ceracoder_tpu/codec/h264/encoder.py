@@ -132,7 +132,11 @@ class PendingFrame:
 
 
 class H264Encoder:
-    """All-intra H.264 baseline encoder (CAVLC, Intra_16x16).
+    """H.264 encoder: I (Intra_16x16/IPCM) + P (P_L0_16x16/P_Skip)
+    slices; CABAC (Main profile) by default — the mode `x264enc`
+    actually runs in the reference's software pipelines (reference:
+    bindings/typescript/src/pipeline/generic-builder.ts:49-55) —
+    with CAVLC (`cabac=False`) keeping the device bit-packer path.
 
     Replaces the x264/NVENC GStreamer elements of the reference
     (SURVEY.md §2.2); the `bitrate` knob the reference's balancer drives
@@ -146,7 +150,7 @@ class H264Encoder:
                  deblock: bool = True, device_entropy: bool = True,
                  row_capacity_bytes: int | None = None,
                  frame_capacity_bytes: int | None = None,
-                 cabac: bool = False):
+                 cabac: bool = True):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")

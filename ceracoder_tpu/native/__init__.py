@@ -184,6 +184,20 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int,                                  # n_threads
     ]
 
+    lib.h264_cabac_rows.restype = ctypes.c_int64
+    lib.h264_cabac_rows.argtypes = [
+        ctypes.c_int, ctypes.c_int,                    # mbh, mbw
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,      # intra, idc, qp
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # hdr b/sz/stride
+        ctypes.c_void_p, ctypes.c_void_p,              # mode_l, mode_c
+        ctypes.c_void_p, ctypes.c_void_p,              # dc_luma, ac_luma
+        ctypes.c_void_p, ctypes.c_void_p,              # skip, mvd
+        ctypes.c_void_p,                               # luma_lv
+        ctypes.c_void_p, ctypes.c_void_p,              # dc/ac chroma
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # out/cap/sizes
+        ctypes.c_int,                                  # n_threads
+    ]
+
 
 def _to_cconfig(config) -> CConfig:
     c = CConfig()

@@ -104,7 +104,7 @@ def test_device_path_bitstream_identical(qp):
     frames = _test_frames(w, h, 5)
 
     def run(dev):
-        enc = H264Encoder(w, h, qp=qp, gop=3, device_entropy=dev)
+        enc = H264Encoder(w, h, qp=qp, gop=3, device_entropy=dev, cabac=False)
         data = enc.headers()
         for y, u, v in frames:
             data += enc.encode_frame(y, u, v).data
@@ -118,11 +118,11 @@ def test_overflow_falls_back_exactly():
     produce the identical stream."""
     w, h = 96, 64
     frames = _test_frames(w, h, 4)
-    enc = H264Encoder(w, h, qp=26, gop=2, row_capacity_bytes=16)
+    enc = H264Encoder(w, h, qp=26, gop=2, row_capacity_bytes=16, cabac=False)
     data = enc.headers()
     for y, u, v in frames:
         data += enc.encode_frame(y, u, v).data
-    ref_enc = H264Encoder(w, h, qp=26, gop=2, device_entropy=False)
+    ref_enc = H264Encoder(w, h, qp=26, gop=2, device_entropy=False, cabac=False)
     ref = ref_enc.headers()
     for y, u, v in frames:
         ref += ref_enc.encode_frame(y, u, v).data
@@ -135,10 +135,10 @@ def test_async_pipeline_matches_sync():
     the bits)."""
     w, h = 96, 64
     frames = _test_frames(w, h, 6)
-    enc = H264Encoder(w, h, qp=28, gop=3)
+    enc = H264Encoder(w, h, qp=28, gop=3, cabac=False)
     pending = [enc.encode_frame_async(*f) for f in frames]
     a = enc.headers() + b"".join(p.result().data for p in pending)
-    enc2 = H264Encoder(w, h, qp=28, gop=3)
+    enc2 = H264Encoder(w, h, qp=28, gop=3, cabac=False)
     b = enc2.headers() + b"".join(
         enc2.encode_frame(*f).data for f in frames)
     assert a == b
@@ -153,12 +153,12 @@ def test_run_dispatch_matches_per_frame():
     frames = _test_frames(w, h, 6)
     qps = [28, 28, 30, 30, 27, 27]
 
-    enc = H264Encoder(w, h, qp=28, gop=4)
+    enc = H264Encoder(w, h, qp=28, gop=4, cabac=False)
     pend = enc.encode_run_async(frames[:3], qps=qps[:3])
     pend += enc.encode_run_async(frames[3:], qps=qps[3:])
     a = enc.headers() + b"".join(p.result().data for p in pend)
 
-    enc2 = H264Encoder(w, h, qp=28, gop=4)
+    enc2 = H264Encoder(w, h, qp=28, gop=4, cabac=False)
     b = enc2.headers() + b"".join(
         enc2.encode_frame(*f, qp=q).data for f, q in zip(frames, qps))
     assert a == b
@@ -169,10 +169,10 @@ def test_run_dispatch_overflow_falls_back():
     redone exactly on the host path, referencing the in-run recon."""
     w, h = 96, 64
     frames = _test_frames(w, h, 4)
-    enc = H264Encoder(w, h, qp=26, gop=2, row_capacity_bytes=16)
+    enc = H264Encoder(w, h, qp=26, gop=2, row_capacity_bytes=16, cabac=False)
     pend = enc.encode_run_async(frames)
     a = enc.headers() + b"".join(p.result().data for p in pend)
-    ref_enc = H264Encoder(w, h, qp=26, gop=2, device_entropy=False)
+    ref_enc = H264Encoder(w, h, qp=26, gop=2, device_entropy=False, cabac=False)
     b = ref_enc.headers() + b"".join(
         ref_enc.encode_frame(*f).data for f in frames)
     assert a == b
@@ -185,11 +185,11 @@ def test_run_dispatch_device_source():
 
     w, h = 96, 64
     src = DeviceTestPatternSource(w, h, texture=4)
-    enc = H264Encoder(w, h, qp=29, gop=8)
+    enc = H264Encoder(w, h, qp=29, gop=8, cabac=False)
     pend = enc.encode_run_async(source=src, indices=range(4))
     a = enc.headers() + b"".join(p.result().data for p in pend)
 
-    enc2 = H264Encoder(w, h, qp=29, gop=8)
+    enc2 = H264Encoder(w, h, qp=29, gop=8, cabac=False)
     b = enc2.headers()
     for i in range(4):
         y, u, v = (np.asarray(p) for p in src.frame(i))

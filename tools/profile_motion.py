@@ -61,8 +61,8 @@ def main():
     e = _window_canvas_t(ref_pad.astype(jnp.int16), mv0, blk=CTB,
                          win=WIN_L, orig=-5, lo=-(MV_FULL_MAX - 1),
                          hi=MV_FULL_MAX - 1, pad=LUMA_SRC_PAD)
-    cur_b = _blocks_t(cur, CTB)
-    d_yx, w24 = _fullpel_refine_dev(cur_b, e)
+    cur_t = _blocks_t(cur, CTB)
+    _, w24 = _fullpel_refine_dev(cur_t, e)
     ph14 = jax.jit(_window_phases14)(w24)
     ph14 = jax.block_until_ready(ph14)
 
@@ -77,10 +77,10 @@ def main():
                lo=-(MV_FULL_MAX - 1), hi=MV_FULL_MAX - 1,
                pad=LUMA_SRC_PAD),
            (ref_pad.astype(jnp.int16), mv0), k=8, perturb=1)
-    report("full-pel refine", _fullpel_refine_dev, (cur_b, e), k=8)
+    report("full-pel refine", _fullpel_refine_dev, (cur_t, e), k=8)
     report("phases14 build", _window_phases14, (w24,), k=8)
     report("subpel refine local", _subpel_refine_local,
-           (cur_b, ph14), k=4)
+           (cur_t, ph14), k=4)
     report("chroma MC window (one plane)",
            lambda rp, m: _mc_chroma_window(rp, m, CHROMA_PAD),
            (refc_pad, mv_q), k=8, perturb=1)
