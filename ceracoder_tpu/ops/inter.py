@@ -375,14 +375,18 @@ def _me_mc_luma(y32, ref32):
     # rounding; shift-invariance makes window-local interpolation equal
     # to sampling the global planes)
     w2t = warped2.transpose(0, 2, 1, 3)    # (mbh, mbw, 24, 24) int16
-    bxu = _tap6_last(w2t)                  # b at (y, x=k+2), unrounded
+    # the 6-tap filters run in int32: the axon backend miscompiles
+    # fused int16 filter chains in larger programs (first seen in the
+    # HEVC interpolation, round 3; resurfaced here as context-dependent
+    # wrong half-pel planes -> non-spec predictions -> conformance
+    # diffs vs libavcodec at 192x128). Windows/warps/SAD stay int16 —
+    # the memory-bound stages — only the filter arithmetic widens.
+    w2t32 = w2t.astype(jnp.int32)
+    bxu = _tap6_last(w2t32)                # b at (y, x=k+2), unrounded
     b_w = jnp.clip((bxu + 16) >> 5, 0, 255).astype(jnp.int16)
-    hyu = _tap6_last(w2t.swapaxes(-1, -2)).swapaxes(-1, -2)
+    hyu = _tap6_last(w2t32.swapaxes(-1, -2)).swapaxes(-1, -2)
     h_w = jnp.clip((hyu + 16) >> 5, 0, 255).astype(jnp.int16)
-    # the second 6-tap pass over unrounded intermediates (|bxu| up to
-    # ~13K) exceeds int16 range — widen for the j plane only
-    jxy = _tap6_last(bxu.astype(jnp.int32)
-                     .swapaxes(-1, -2)).swapaxes(-1, -2)
+    jxy = _tap6_last(bxu.swapaxes(-1, -2)).swapaxes(-1, -2)
     j_w = jnp.clip((jxy + 512) >> 10, 0, 255).astype(jnp.int16)
 
     base = 4

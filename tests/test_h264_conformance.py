@@ -137,3 +137,33 @@ def test_psnr_reasonable(oracle, tmp_path):
     mse = np.mean((f.recon[0].astype(float) - y.astype(float)) ** 2)
     psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
     assert psnr > 35.0, psnr
+
+
+def test_p_recon_consistency(oracle, tmp_path):
+    """Regression for the axon fused-recon miscompile: P-frame recon
+    must equal libavcodec's decode bit-exactly on content whose
+    unclipped pred+residual goes strongly negative (dark sine pattern
+    with slow pan; the wrap showed up as isolated mod-128 pixels).
+    Pins the optimization_barrier in ops/inter.py:encode_frame_p."""
+    w, h = 192, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((np.sin(xx / 6) * 70 + np.cos(yy / 11) * 65 + 128)
+         .clip(0, 255)).astype(np.uint8)
+    u = ((np.sin(xx[::2, ::2] / 9) * 40 + 120).clip(0, 255)
+         ).astype(np.uint8)
+    v = ((np.cos(yy[::2, ::2] / 7) * 40 + 136).clip(0, 255)
+         ).astype(np.uint8)
+    for deblock in (False, True):
+        enc = H264Encoder(w, h, qp=26, gop=4, deblock=deblock)
+        data = enc.headers()
+        recons = []
+        for t in range(4):
+            f = enc.encode_frame(np.roll(y, 2 * t, axis=1), u, v)
+            data += f.data
+            recons.append(f.recon)
+        dec = oracle_decode(oracle, data, w, h, tmp_path)
+        assert len(dec) == 4
+        for i, (d, r) in enumerate(zip(dec, recons)):
+            assert np.array_equal(d[0], r[0]), (deblock, i)
+            assert np.array_equal(d[1], r[1]), (deblock, i)
+            assert np.array_equal(d[2], r[2]), (deblock, i)
