@@ -35,14 +35,21 @@ setup_jax()
 RUN = 10          # frames per fused dispatch (167 ms at 60 fps)
 GOP = 60
 N = 240           # timed frames
-DEPTH = 5         # runs in flight (measured sweep: 10/5 beats 15/2 —
-                  # smaller runs overlap dispatch+transfer+entropy
-                  # with device compute better; 64.8 vs 61.0 fps)
+DEPTH = 5         # runs in flight at 1080p (measured sweep: 10/5
+                  # beats 15/2 — smaller runs overlap dispatch+
+                  # transfer+entropy with device compute; 64.8 vs
+                  # 61.0 fps). At 4K the same depth quadruples the
+                  # in-flight HBM footprint and collapses throughput
+                  # (2 fps vs 10+ sequential), so depth scales down
+                  # with frame area; override: CERACODER_BENCH_DEPTH.
 
 
 def bench_encoder(make_encoder, w, h):
     from ceracoder_tpu.app.source import DeviceTestPatternSource
 
+    depth = int(os.environ.get(
+        "CERACODER_BENCH_DEPTH",
+        max(1, (DEPTH * 1920 * 1088) // (w * h))))
     src = DeviceTestPatternSource(w, h, texture=6)
     enc = make_encoder()
 
@@ -64,7 +71,7 @@ def bench_encoder(make_encoder, w, h):
         q.append(enc2.encode_run_async(source=src, indices=idx))
         # keep DEPTH runs in flight (hides the dispatch+sync round
         # trip), collect the oldest while the newer ones compute
-        if len(q) > DEPTH:
+        if len(q) > depth:
             nbytes += sum(len(p.result().data) for p in q.popleft())
     while q:
         nbytes += sum(len(p.result().data) for p in q.popleft())
@@ -77,18 +84,20 @@ def main():
     size = os.environ.get("CERACODER_BENCH_SIZE", "1920x1088")
     w, h = map(int, size.split("x"))
 
+    label = {(1920, 1088): "1080p60", (3840, 2160): "4k60",
+             (1280, 720): "720p60"}.get((w, h), f"{w}x{h}")
     if codec == "hevc":
         from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
 
         def make():
             return H265DeviceEncoder(w, h, qp=30, gop=GOP)
-        metric = "1080p60_hevc_stream_pipeline"
+        metric = f"{label}_hevc_stream_pipeline"
     else:
         from ceracoder_tpu.codec.h264.encoder import H264Encoder
 
         def make():
             return H264Encoder(w, h, qp=28, gop=GOP)
-        metric = "1080p60_h264_stream_pipeline"
+        metric = f"{label}_h264_stream_pipeline"
 
     fps, _ = bench_encoder(make, w, h)
     print(json.dumps({

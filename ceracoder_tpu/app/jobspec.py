@@ -55,6 +55,7 @@ class JobSpec:
     loop: bool = True
     audio_kind: str = "none"      # none | tone | wav
     audio_path: str = ""
+    audio_codec: str = "aac"      # aac | opus (reference common.ts:71-87)
     audio_bitrate: int = 128      # Kbps
     audio_delay_ms: int = 0       # a_delay analog
 
@@ -119,6 +120,8 @@ def parse_jobspec(path: str | Path) -> JobSpec:
                 spec.audio_kind = val
             elif key == "path":
                 spec.audio_path = val
+            elif key == "codec":
+                spec.audio_codec = val
             elif key == "bitrate":
                 spec.audio_bitrate = int(val)
             elif key == "delay_ms":

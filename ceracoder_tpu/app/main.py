@@ -242,12 +242,14 @@ class CeracoderApp:
                     sample_rate=self.audio_src.sample_rate,
                     channels=self.audio_src.channels,
                     bitrate=self.spec.audio_bitrate * 1000,
-                    delay_ms=self.spec.audio_delay_ms + a_extra)
+                    delay_ms=self.spec.audio_delay_ms + a_extra,
+                    codec=self.spec.audio_codec)
             else:
                 print("audio requested but AAC encoder unavailable; "
                       "continuing video-only", file=sys.stderr)
         self.mux = TsMuxer(video_stream_type=self.video_stream_type,
-                           with_audio=self.audio is not None)
+                           with_audio=self.audio is not None,
+                           audio_kind=self.spec.audio_codec)
         self.packer = TsPacker(pkt_size=pkt)
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0

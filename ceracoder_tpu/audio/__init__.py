@@ -1,11 +1,14 @@
-"""Audio pipeline: sources + AAC-LC encoding + PTS accounting.
+"""Audio pipeline: sources + AAC-LC / Opus encoding + PTS accounting.
 
-The reference's audio branch is `alsasrc -> a_delay -> volume -> AAC
-(voaacenc/avenc_aac) -> mpegtsmux` at 128 kbps (reference: pipeline
-files' audio chains, bindings/typescript/src/pipeline/common.ts:55-90).
-avenc_aac is libavcodec's AAC encoder; the native shim
-(native/src/audio_enc.cc) binds the same codec and adds ADTS framing,
-so the TS muxer's audio path (stream_type 0x0F) carries it unchanged.
+The reference's audio branch is `alsasrc -> a_delay -> volume ->
+{AAC|Opus} -> mpegtsmux` at 128 kbps (reference: pipeline files' audio
+chains, bindings/typescript/src/pipeline/common.ts:55-90 — the builder
+offers both codecs at :71-87). avenc_aac is libavcodec's AAC encoder;
+the native shim (native/src/audio_enc.cc) binds the same codecs and
+adds the TS self-framing (ADTS for AAC — stream_type 0x0F; the
+Opus-in-TS control header for Opus — stream_type 0x06 + 'Opus'
+registration descriptor), so TsMuxer.mux_audio carries either
+unchanged.
 """
 
 from __future__ import annotations
@@ -29,6 +32,9 @@ def _declare_audio(lib: ctypes.CDLL) -> None:
     lib.cc_aacenc_create.restype = ctypes.c_void_p
     lib.cc_aacenc_create.argtypes = [ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int64]
+    lib.cc_audioenc_create.restype = ctypes.c_void_p
+    lib.cc_audioenc_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int64]
     lib.cc_aacenc_frame_size.restype = ctypes.c_int
     lib.cc_aacenc_frame_size.argtypes = [ctypes.c_void_p]
     lib.cc_aacenc_encode.restype = ctypes.c_int
@@ -53,18 +59,24 @@ def aac_available() -> bool:
 
 
 class AacEncoder:
-    """AAC-LC encoder producing ADTS frames from float PCM."""
+    """Audio encoder producing TS-self-framed access units from float
+    PCM: ADTS frames (codec="aac") or control-header-prefixed Opus
+    packets (codec="opus")."""
 
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
-                 bitrate: int = AUDIO_DEFAULT_BITRATE):
+                 bitrate: int = AUDIO_DEFAULT_BITRATE,
+                 codec: str = "aac"):
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         _declare_audio(lib)
         self._lib = lib
-        self._h = lib.cc_aacenc_create(sample_rate, channels, bitrate)
+        self.codec = codec
+        kind = {"aac": 0, "opus": 1}[codec]
+        self._h = lib.cc_audioenc_create(kind, sample_rate, channels,
+                                         bitrate)
         if not self._h:
-            raise RuntimeError("libavcodec AAC encoder unavailable")
+            raise RuntimeError(f"libavcodec {codec} encoder unavailable")
         self.sample_rate = sample_rate
         self.channels = channels
         self.frame_size = lib.cc_aacenc_frame_size(self._h)
@@ -83,19 +95,46 @@ class AacEncoder:
             pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             pcm.shape[0], self._out._h)
         if n < 0:
-            raise RuntimeError(f"aac encode failed ({n})")
-        return _split_adts(self._out.take())
+            raise RuntimeError(f"{self.codec} encode failed ({n})")
+        return self._split(self._out.take())
+
+    def _split(self, blob: bytes) -> list[bytes]:
+        return (_split_opus_au(blob) if self.codec == "opus"
+                else _split_adts(blob))
 
     def flush(self) -> list[bytes]:
         n = self._lib.cc_aacenc_flush(self._h, self._out._h)
         if n < 0:
-            raise RuntimeError(f"aac flush failed ({n})")
-        return _split_adts(self._out.take())
+            raise RuntimeError(f"{self.codec} flush failed ({n})")
+        return self._split(self._out.take())
 
     def __del__(self):
         if getattr(self, "_h", None):
             self._lib.cc_aacenc_destroy(self._h)
             self._h = None
+
+
+def _split_opus_au(blob: bytes) -> list[bytes]:
+    """Split concatenated Opus-in-TS access units on their control
+    headers (0x7F 0xE0.., base-255 size varint)."""
+    frames = []
+    pos = 0
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0x7F or (blob[pos + 1] & 0xFC) != 0xE0:
+            raise ValueError("bad Opus control header")
+        start = pos
+        pos += 2
+        size = 0
+        while pos < len(blob) and blob[pos] == 0xFF:
+            size += 255
+            pos += 1
+        size += blob[pos]
+        pos += 1
+        pos += size
+        frames.append(blob[start:pos])
+    if pos != len(blob):
+        raise ValueError("trailing Opus bytes")
+    return frames
 
 
 def _split_adts(blob: bytes) -> list[bytes]:
@@ -125,8 +164,9 @@ class AudioPipeline:
 
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
                  bitrate: int = AUDIO_DEFAULT_BITRATE,
-                 delay_ms: int = 0):
-        self.enc = AacEncoder(sample_rate, channels, bitrate)
+                 delay_ms: int = 0, codec: str = "aac"):
+        self.enc = AacEncoder(sample_rate, channels, bitrate,
+                              codec=codec)
         # a_delay adds |av_delay| ms to audio PTS when audio lags
         # (reference: cb_delay, src/ceracoder.c:341-344,525-533)
         self._pts_off = delay_ms * 90

@@ -312,7 +312,18 @@ class H264Encoder:
             HDR_SLOTS, encode_run_packed)
 
         if not self.device_entropy:
-            raise ValueError("encode_run_async requires device_entropy")
+            # CABAC (or host-entropy) mode: the device bit-packer only
+            # speaks CAVLC, so a run is a sequence of per-frame
+            # dispatches through the host entropy path (the native C++
+            # row coder). Same interface, one dispatch per frame.
+            if frames is None:
+                frames = [source.frame(i) for i in indices]
+            return [
+                self.encode_frame_async(
+                    y, u, v,
+                    qp=(qps[f] if qps is not None else qp),
+                    force_idr=force_idr and f == 0)
+                for f, (y, u, v) in enumerate(frames)]
         if frames is not None:
             nf = len(frames)
         else:

@@ -123,6 +123,9 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.cc_tsmux_create.restype = ctypes.c_void_p
     lib.cc_tsmux_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.cc_tsmux_create2.restype = ctypes.c_void_p
+    lib.cc_tsmux_create2.argtypes = [ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
     lib.cc_tsmux_destroy.argtypes = [ctypes.c_void_p]
     lib.cc_outbuf_create.restype = ctypes.c_void_p
     lib.cc_outbuf_destroy.argtypes = [ctypes.c_void_p]
@@ -277,12 +280,14 @@ class NativeTsMuxer:
     """Same surface as transport.mpegts.TsMuxer, C++ implementation."""
 
     def __init__(self, video_stream_type: int = 0x1B,
-                 with_audio: bool = False):
+                 with_audio: bool = False, audio_kind: str = "aac"):
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        self._h = lib.cc_tsmux_create(video_stream_type, int(with_audio))
+        self._h = lib.cc_tsmux_create2(
+            video_stream_type, int(with_audio),
+            1 if audio_kind == "opus" else 0)
         self._out = _OutBuf(lib)
 
     def psi(self) -> bytes:

@@ -22,6 +22,8 @@ AUDIO_PID = 0x0101
 STREAM_TYPE_H264 = 0x1B
 STREAM_TYPE_HEVC = 0x24
 STREAM_TYPE_AAC_ADTS = 0x0F
+STREAM_TYPE_PRIVATE = 0x06     # Opus rides private PES (TS draft)
+PES_PRIVATE_SID = 0xBD         # private_stream_1 (Opus)
 
 PES_VIDEO_SID = 0xE0
 PES_AUDIO_SID = 0xC0
@@ -69,11 +71,20 @@ def _pat_section() -> bytes:
     return sec + _crc32_mpeg(sec).to_bytes(4, "big")
 
 
-def _pmt_section(video_stream_type: int, with_audio: bool) -> bytes:
+def _pmt_section(video_stream_type: int, with_audio: bool,
+                 audio_kind: str = "aac") -> bytes:
     streams = bytes([video_stream_type,
                      0xE0 | (VIDEO_PID >> 8), VIDEO_PID & 0xFF,
                      0xF0, 0x00])
-    if with_audio:
+    if with_audio and audio_kind == "opus":
+        # Opus-in-TS: private stream_type + 'Opus' registration and
+        # the DVB extension descriptor (0x7F ext 0x80, channel count)
+        desc = (bytes([0x05, 4]) + b"Opus"
+                + bytes([0x7F, 2, 0x80, 2]))
+        streams += bytes([STREAM_TYPE_PRIVATE,
+                          0xE0 | (AUDIO_PID >> 8), AUDIO_PID & 0xFF,
+                          0xF0 | (len(desc) >> 8), len(desc) & 0xFF])             + desc
+    elif with_audio:
         streams += bytes([STREAM_TYPE_AAC_ADTS,
                           0xE0 | (AUDIO_PID >> 8), AUDIO_PID & 0xFF,
                           0xF0, 0x00])
@@ -117,9 +128,10 @@ class TsMuxer:
     """Stateful TS muxer for one program (video + optional AAC audio)."""
 
     def __init__(self, video_stream_type: int = STREAM_TYPE_H264,
-                 with_audio: bool = False):
+                 with_audio: bool = False, audio_kind: str = "aac"):
         self.video_stream_type = video_stream_type
         self.with_audio = with_audio
+        self.audio_kind = audio_kind
         self._cc = {PAT_PID: 0, PMT_PID: 0, VIDEO_PID: 0, AUDIO_PID: 0}
 
     def _bump_cc(self, pid: int, n: int) -> np.ndarray:
@@ -215,7 +227,8 @@ class TsMuxer:
         pat = _psi_packet(PAT_PID, _pat_section(),
                           int(self._bump_cc(PAT_PID, 1)[0]))
         pmt = _psi_packet(PMT_PID, _pmt_section(self.video_stream_type,
-                                                self.with_audio),
+                                                self.with_audio,
+                                                self.audio_kind),
                           int(self._bump_cc(PMT_PID, 1)[0]))
         return pat + pmt
 
@@ -229,7 +242,11 @@ class TsMuxer:
         return out
 
     def mux_audio(self, adts: bytes, pts90: int) -> bytes:
-        pes = _pes_header(PES_AUDIO_SID, pts90, None, len(adts)) + adts
+        """adts: self-framed audio ES — ADTS frames (AAC) or
+        control-header-prefixed access units (Opus)."""
+        sid = PES_PRIVATE_SID if self.audio_kind == "opus" \
+            else PES_AUDIO_SID
+        pes = _pes_header(sid, pts90, None, len(adts)) + adts
         return self._packetize(AUDIO_PID, pes, pcr90=None)
 
 

@@ -24,6 +24,8 @@ constexpr int kVideoPid = 0x0100;
 constexpr int kAudioPid = 0x0101;
 
 constexpr uint8_t kStreamTypeAacAdts = 0x0F;
+constexpr uint8_t kStreamTypePrivate = 0x06;   // Opus-in-TS
+constexpr uint8_t kPesPrivateSid = 0xBD;       // private_stream_1
 constexpr uint8_t kPesVideoSid = 0xE0;
 constexpr uint8_t kPesAudioSid = 0xC0;
 
@@ -72,11 +74,19 @@ std::vector<uint8_t> pat_section() {
   return sec;
 }
 
-std::vector<uint8_t> pmt_section(uint8_t video_stream_type, bool with_audio) {
+std::vector<uint8_t> pmt_section(uint8_t video_stream_type, bool with_audio,
+                                 bool opus_audio) {
   std::vector<uint8_t> streams = {video_stream_type,
                                   static_cast<uint8_t>(0xE0 | (kVideoPid >> 8)),
                                   kVideoPid & 0xFF, 0xF0, 0x00};
-  if (with_audio) {
+  if (with_audio && opus_audio) {
+    // 'Opus' registration + DVB extension descriptor (0x7F/0x80, ch)
+    uint8_t a[] = {kStreamTypePrivate,
+                   static_cast<uint8_t>(0xE0 | (kAudioPid >> 8)),
+                   kAudioPid & 0xFF, 0xF0, 10,
+                   0x05, 4, 'O', 'p', 'u', 's', 0x7F, 2, 0x80, 2};
+    streams.insert(streams.end(), a, a + sizeof(a));
+  } else if (with_audio) {
     uint8_t a[] = {kStreamTypeAacAdts,
                    static_cast<uint8_t>(0xE0 | (kAudioPid >> 8)),
                    kAudioPid & 0xFF, 0xF0, 0x00};
@@ -135,12 +145,15 @@ void write_pcr(uint8_t* p, uint64_t pcr90) {
 
 class TsMuxer {
  public:
-  TsMuxer(uint8_t video_stream_type, bool with_audio)
-      : video_stream_type_(video_stream_type), with_audio_(with_audio) {}
+  TsMuxer(uint8_t video_stream_type, bool with_audio,
+          bool opus_audio = false)
+      : video_stream_type_(video_stream_type), with_audio_(with_audio),
+        opus_audio_(opus_audio) {}
 
   void psi(std::vector<uint8_t>* out) {
     psi_packet(out, kPatPid, pat_section(), bump_cc(kPatPid, 1));
-    psi_packet(out, kPmtPid, pmt_section(video_stream_type_, with_audio_),
+    psi_packet(out, kPmtPid,
+               pmt_section(video_stream_type_, with_audio_, opus_audio_),
                bump_cc(kPmtPid, 1));
   }
 
@@ -156,7 +169,8 @@ class TsMuxer {
 
   void mux_audio(const uint8_t* adts, size_t len, uint64_t pts90,
                  std::vector<uint8_t>* out) {
-    std::vector<uint8_t> pes = pes_header(kPesAudioSid, pts90, nullptr, len);
+    std::vector<uint8_t> pes = pes_header(
+        opus_audio_ ? kPesPrivateSid : kPesAudioSid, pts90, nullptr, len);
     pes.insert(pes.end(), adts, adts + len);
     packetize(kAudioPid, pes, nullptr, out);
   }
@@ -260,6 +274,7 @@ class TsMuxer {
 
   uint8_t video_stream_type_;
   bool with_audio_;
+  bool opus_audio_;
   int cc_[4] = {0, 0, 0, 0};
 };
 
@@ -319,6 +334,12 @@ extern "C" {
 void* cc_tsmux_create(int video_stream_type, int with_audio) {
   return new TsMuxer(static_cast<uint8_t>(video_stream_type),
                      with_audio != 0);
+}
+// audio_kind: 0 = AAC/ADTS (0x0F), 1 = Opus (0x06 + descriptors)
+void* cc_tsmux_create2(int video_stream_type, int with_audio,
+                       int audio_kind) {
+  return new TsMuxer(static_cast<uint8_t>(video_stream_type),
+                     with_audio != 0, audio_kind == 1);
 }
 void cc_tsmux_destroy(void* h) { delete static_cast<TsMuxer*>(h); }
 

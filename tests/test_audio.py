@@ -153,3 +153,113 @@ def test_app_av_end_to_end(tmp_path):
     assert rate == 48000 and ch == 2
     pcm = np.fromfile(tmp_path / "a.pcm", np.int16)
     assert pcm.size > 10000
+
+
+def _opus_or_skip():
+    from ceracoder_tpu.audio import AacEncoder
+    try:
+        return AacEncoder(codec="opus")
+    except RuntimeError:
+        pytest.skip("opus encoder unavailable in libavcodec")
+
+
+def test_opus_tone_roundtrip_through_ts_oracle(tmp_path):
+    """Opus option (reference: common.ts:71-87): tone -> Opus ->
+    MPEG-TS (stream_type 0x06 + 'Opus' registration) -> libavformat
+    demux + decode -> dominant frequency check."""
+    from ceracoder_tpu.audio import AudioPipeline, ToneSource
+    from ceracoder_tpu.transport.mpegts import TsMuxer
+
+    _opus_or_skip()
+    rate, freq = 48000, 440.0
+    src = ToneSource(sample_rate=rate, freq=freq)
+    pipe = AudioPipeline(sample_rate=rate, codec="opus")
+    mux = TsMuxer(with_audio=True, audio_kind="opus")
+    ts = mux.psi()
+    frames = []
+    for _ in range(50):
+        frames += pipe.feed(src.read(960))
+    frames += pipe.flush()
+    assert len(frames) > 30
+    for f in frames:
+        assert f.adts[:2] == b"\x7f\xe0"       # control header
+        ts += mux.mux_audio(f.adts, f.pts90)
+    p = tmp_path / "tone.ts"
+    p.write_bytes(ts)
+    pcm = tmp_path / "tone.pcm"
+    r = subprocess.run([str(_oracle()), str(p), str(pcm)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-400:]
+    out_rate, out_ch = map(int, r.stdout.split())
+    assert out_rate == rate and out_ch == 2
+    data = np.fromfile(pcm, np.int16).reshape(-1, 2).astype(np.float64)
+    x = data[rate // 4:rate // 4 + 16384, 0]
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+    peak = np.argmax(spec) * rate / x.size
+    assert abs(peak - freq) < 5.0, f"peak at {peak:.1f} Hz"
+
+
+def test_opus_native_mux_parity():
+    """Python and C++ TS muxers must emit identical bytes for the
+    Opus PMT + PES path (twin-implementation contract)."""
+    from ceracoder_tpu import native
+    from ceracoder_tpu.audio import AudioPipeline, ToneSource
+    from ceracoder_tpu.transport.mpegts import TsMuxer
+
+    _opus_or_skip()
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    src = ToneSource()
+    pipe = AudioPipeline(codec="opus")
+    frames = []
+    for _ in range(10):
+        frames += pipe.feed(src.read(960))
+    py = TsMuxer(with_audio=True, audio_kind="opus")
+    cc = native.NativeTsMuxer(with_audio=True, audio_kind="opus")
+    assert py.psi() == cc.psi()
+    for f in frames:
+        assert py.mux_audio(f.adts, f.pts90) == \
+            cc.mux_audio(f.adts, f.pts90)
+
+
+def test_jobspec_audio_codec_key(tmp_path):
+    from ceracoder_tpu.app.jobspec import parse_jobspec
+
+    p = tmp_path / "job"
+    p.write_text("[source]\nkind = test\nwidth = 64\nheight = 48\n"
+                 "fps = 30\n\n[encode]\ncodec = h264\n\n"
+                 "[audio]\nkind = tone\ncodec = opus\nbitrate = 96\n")
+    spec = parse_jobspec(str(p))
+    assert spec.audio_codec == "opus"
+    assert spec.audio_bitrate == 96
+
+
+def test_app_av_end_to_end_opus(tmp_path):
+    """Full app run with the Opus audio branch (reference
+    common.ts:71-87): the TS carries decodable video AND Opus audio."""
+    from ceracoder_tpu.app.cli import parse_args
+    from ceracoder_tpu.app.main import CeracoderApp
+
+    _opus_or_skip()
+    job = tmp_path / "job.ini"
+    job.write_text("[source]\nkind = test\nwidth = 320\nheight = 192\n"
+                   "fps = 30\n[encode]\ngop = 30\n"
+                   "[audio]\nkind = tone\ncodec = opus\nbitrate = 96\n")
+    out = tmp_path / "av.ts"
+    opts = parse_args([str(job), str(out), "0"])
+    app = CeracoderApp(opts, max_frames=20, realtime=False)
+    assert app.run() == 0
+    assert app.audio is not None and app.audio.enc.codec == "opus"
+
+    video_oracle = TOOLS / "decode_oracle"
+    r = subprocess.run([str(video_oracle), str(out),
+                        str(tmp_path / "v.yuv")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "frames=20" in r.stderr
+    r = subprocess.run([str(_oracle()), str(out), str(tmp_path / "a.pcm")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    rate, ch = map(int, r.stdout.split())
+    assert rate == 48000 and ch == 2
+    assert np.fromfile(tmp_path / "a.pcm", np.int16).size > 10000

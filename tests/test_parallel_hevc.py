@@ -171,3 +171,64 @@ def test_sharded_cross_band_motion():
     for i in range(3):
         assert np.array_equal(np.asarray(outs_p["recon"][i])[0],
                               ref_p[0]["recon"][i]), i
+
+
+def _vert_pan_content(h, w, shift, seed=2):
+    """Textured content panning VERTICALLY by `shift` px/frame — MVs at
+    the halo limit cross band boundaries on every band seam."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (2 * h, w)).astype(np.uint8)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(2 * h))
+    tex = (128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+    mix = ((base.astype(np.int32) + tex) // 2).astype(np.uint8)
+
+    def frame(i):
+        y = mix[shift * i:shift * i + h].copy()[None]
+        return (y, (y[:, ::2, ::2] // 2 + 40).astype(np.uint8),
+                (y[:, 1::2, 1::2] // 3 + 70).astype(np.uint8))
+    return frame
+
+
+def _run_geometry(n_rows, h, w, shift):
+    """IDR + P over an n_rows-band mesh vs single chip, bit-identical."""
+    qp, qp_c = 30, 29
+    mesh = make_mesh(n_streams=1, n_rows=n_rows)
+    frame = _vert_pan_content(h, w, shift)
+    y0, u0, v0 = frame(0)
+    zeros = (np.zeros_like(y0), np.zeros_like(u0), np.zeros_like(v0))
+    fn_i = hevc_sharded_step(mesh, qp, qp_c, idr=True)
+    outs_i, _ = fn_i(y0, u0, v0, *zeros)
+    ref_i = _single_chip(y0, u0, v0, None, qp, qp_c, idr=True)
+    y1, u1, v1 = frame(1)
+    fn_p = hevc_sharded_step(mesh, qp, qp_c, idr=False)
+    outs_p, _ = fn_p(y1, u1, v1, *outs_i["recon"])
+    ref_rec = tuple(np.stack([ref_i[0]["recon"][i]]) for i in range(3))
+    ref_p = _single_chip(y1, u1, v1, ref_rec, qp, qp_c, idr=False)
+    for tag, outs, ref in (("I", outs_i, ref_i), ("P", outs_p, ref_p)):
+        for k in KEYS:
+            assert np.array_equal(np.asarray(outs[k])[0], ref[0][k]), \
+                f"{tag} {k} (rows={n_rows}, h={h})"
+        for i in range(3):
+            assert np.array_equal(np.asarray(outs["recon"][i])[0],
+                                  ref[0]["recon"][i]), \
+                f"{tag} recon {i} (rows={n_rows}, h={h})"
+
+
+def test_odd_band_count_near_halo_motion():
+    """5 bands (odd count) x 32-row bands with vertical pan at the
+    full-pel search limit: band-crossing MVs on every seam."""
+    _run_geometry(n_rows=5, h=160, w=128, shift=7)
+
+
+def test_tall_bands_full_height_ratio():
+    """8 bands x 48 rows (the 1080p-class rows-per-device ratio at
+    reduced width; width does not change the seam/halo logic, only
+    compile time) with near-halo vertical motion."""
+    _run_geometry(n_rows=8, h=384, w=96, shift=6)
+
+
+def test_config3_row_geometry_2160():
+    """The config[3] BAND GEOMETRY at 4K HEIGHT: 2176 rows split 8
+    ways (17 CTB rows per device — the real 4K60 band shape) at
+    narrow width (~1 min on the CPU mesh)."""
+    _run_geometry(n_rows=8, h=2176, w=64, shift=7)

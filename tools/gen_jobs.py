@@ -20,11 +20,14 @@ sys.path.insert(0, str(ROOT))
 from ceracoder_tpu.bindings.jobs import JobBuilder, JobRequest  # noqa: E402
 
 # operating points mirroring the reference corpus envelope
-# (pipeline corpus: up to 4K30 HEVC, 1080p60; SURVEY.md §2.6/§6)
+# (pipeline corpus: up to 4K30 HEVC, 1080p60; SURVEY.md §2.6/§6) plus
+# the BASELINE.json north-star 4K60 point the reference's Jetson HW
+# could not reach (README.md:247 caps it at 4K30)
 POINTS = [
     ("480p", 30), ("540p", 30), ("720p", 25), ("720p", 30),
     ("720p", 50), ("720p", 60), ("1080p", 25), ("1080p", 30),
     ("1080p", 50), ("1080p", 60), ("1440p", 30), ("4k", 30),
+    ("4k", 60),
 ]
 SOURCES = [("test", ""), ("y4m", "input.y4m"), ("raw", "input.yuv")]
 CODECS = ["h264", "hevc"]
