@@ -287,9 +287,46 @@ class H265DeviceEncoder:
         nf = len(frames) if frames is not None else len(indices)
         if nf == 0:
             return []
+
+        # split mixed runs at IDR boundaries: an IDR frame dispatches
+        # alone through the statically-intra executable (idr_only) and
+        # P spans through the plain P-run executable. The dual-core
+        # lax.cond body the mixed run would otherwise need compiles
+        # pathologically at 4K (~15 min compile, ~25 s per IDR step —
+        # vs 41 ms for the standalone intra core).
+        sim_poc, sim_have = self._poc, self._ref is not None
+        flags = []
+        for f in range(nf):
+            idr = ((force_idr and f == 0) or not sim_have
+                   or sim_poc >= self.gop)
+            flags.append(idr)
+            sim_poc = 1 if idr else sim_poc + 1
+            sim_have = True
+        if any(flags) and nf > 1:
+            cuts = [f for f in range(nf) if flags[f]]
+            bounds = sorted({0, nf}
+                            | {c for c in cuts} | {c + 1 for c in cuts})
+            pendings: list[PendingFrame] = []
+            for a, b in zip(bounds, bounds[1:]):
+                pendings += self.encode_run_async(
+                    frames=None if frames is None else frames[a:b],
+                    qp=qp,
+                    qps=None if qps is None else qps[a:b],
+                    source=source,
+                    indices=None if indices is None
+                    else list(indices)[a:b],
+                    force_idr=flags[a], cap=cap)
+            return pendings
+        idr_only = bool(flags[0]) and nf == 1
+
         n_ctb = (self.ph // CTB) * (self.pw // CTB)
         cap = cap or max(2 * LEVEL_CHUNK, n_ctb * 48)
         cap = -(-cap // LEVEL_CHUNK) * LEVEL_CHUNK
+        # IDR chunk-0 sized for ~25% of the dense 384 slots/CTB so a
+        # typical all-intra frame transfers in ONE chunk (measured
+        # ~13% at qp30 on detailed content); cap at 50% before the
+        # exact host-path redo kicks in
+        self._idr_chunk = -(-(n_ctb * 96) // LEVEL_CHUNK) * LEVEL_CHUNK
 
         idr_flags = np.zeros(nf, bool)
         qp_arr = np.zeros(nf, np.int32)
@@ -332,12 +369,36 @@ class H265DeviceEncoder:
             source_fn = source.gen_fn
             fidx = np.asarray(indices, np.int32)
 
-        outs = encode_run_rows(
-            ys, us, vs, jnp.asarray(idr_flags), jnp.asarray(qp_arr),
-            jnp.asarray(qpc_arr), *prev_ref, jnp.asarray(fidx),
-            cap=cap, any_idr=any_idr, deblock=self.deblock,
-            sao=self.sao, tu_split=self.tu_split,
-            source_fn=source_fn)
+        if idr_only:
+            from ceracoder_tpu.ops.h265 import encode_idr_rows
+            if source_fn is not None:
+                y1, u1, v1 = source.frame(int(fidx[0]))
+                y1 = self._pad_dev(y1, self.ph, self.pw)
+                u1 = self._pad_dev(u1, self.ph // 2, self.pw // 2)
+                v1 = self._pad_dev(v1, self.ph // 2, self.pw // 2)
+            else:
+                y1, u1, v1 = ys[0], us[0], vs[0]
+            # IDR frames carry far more levels than P frames (every
+            # CTB intra-coded): size the compaction for ~50% of the
+            # dense 384 slots/CTB and use a large transfer chunk so
+            # chunk 0 covers the whole stream in one transfer (the
+            # tunnel charges ~25 ms latency per transfer)
+            chunk = self._idr_chunk
+            cap_idr = max(cap, 2 * chunk)
+            outs = encode_idr_rows(
+                y1, u1, v1, jnp.asarray(qp_arr[0]),
+                jnp.asarray(qpc_arr[0]),
+                cap=cap_idr, deblock=self.deblock, sao=self.sao,
+                chunk=chunk)
+            cap = cap_idr
+        else:
+            outs = encode_run_rows(
+                ys, us, vs, jnp.asarray(idr_flags),
+                jnp.asarray(qp_arr), jnp.asarray(qpc_arr), *prev_ref,
+                jnp.asarray(fidx), cap=cap,
+                any_idr=any_idr and not idr_only, deblock=self.deblock,
+                sao=self.sao, tu_split=self.tu_split,
+                source_fn=source_fn, idr_only=idr_only)
         recons = outs["recon"]
         self._ref = tuple(r[-1] for r in recons)
 
@@ -366,13 +427,20 @@ class H265DeviceEncoder:
 
         pend = []
         for f in range(nf):
+            dense_get = None
+            if idr_only and "dense_lv" in outs:
+                dense_get = (lambda ff=f: tuple(
+                    np.asarray(a[ff]) for a in outs["dense_lv"]))
             pend.append(self._make_run_pending(
                 f, bool(idr_flags[f]), int(qp_arr[f]), int(qpc_arr[f]),
                 int(pocs[f]), get, cap, recons, prev_ref, frames,
-                source, fidx))
+                source, fidx,
+                chunk=self._idr_chunk if idr_only else None,
+                dense_get=dense_get))
         return pend
 
-    def _unpack_row(self, row, get, f, cap, with_mv1=False):
+    def _unpack_row(self, row, get, f, cap, with_mv1=False,
+                    chunk=None, dense_get=None):
         """Decode one frame's slice of the packed transfer buffer
         (ops/h265.run_pack_layout) into the entropy-stage arrays.
         Returns (nnz, arrays) — arrays is None when nnz overflowed cap
@@ -380,11 +448,14 @@ class H265DeviceEncoder:
         from ceracoder_tpu.codec.h265.rowslice import densify_levels
         from ceracoder_tpu.ops.h265 import LEVEL_CHUNK, run_pack_layout
 
+        if chunk is None:
+            chunk = LEVEL_CHUNK
         nch, ncw = self.ph // CTB, self.pw // CTB
         n_ctb = nch * ncw
-        lay = run_pack_layout(n_ctb, with_mv1=with_mv1)
+        lay = run_pack_layout(n_ctb, with_mv1=with_mv1, chunk=chunk)
         nnz = int(row[lay["nnz"]:lay["nnz"] + 4].view(np.int32)[0])
-        if nnz > cap:
+        overflow = nnz > cap
+        if overflow and dense_get is None:
             return nnz, None
         meta = row[lay["meta"]:lay["meta"] + n_ctb].reshape(nch, ncw)
         arrays = {
@@ -397,12 +468,18 @@ class H265DeviceEncoder:
         if with_mv1:
             arrays["mv1"] = row[lay["mv1"]:lay["mv1"] + 2 * n_ctb] \
                 .view(np.int8).reshape(nch, ncw, 2).astype(np.int32)
+        if overflow:
+            ly, cb, cr = dense_get()
+            arrays["luma_lv"] = ly.astype(np.int32)
+            arrays["cb_lv"] = cb.astype(np.int32)
+            arrays["cr_lv"] = cr.astype(np.int32)
+            return nnz, arrays
         counts = row[lay["counts"]:lay["counts"] + 2 * n_ctb] \
             .view(np.uint16).reshape(nch, ncw)
-        pv0 = row[lay["lv0"]:lay["lv0"] + 4 * LEVEL_CHUNK] \
-            .view(np.int16).reshape(LEVEL_CHUNK, 2)
+        pv0 = row[lay["lv0"]:lay["lv0"] + 4 * chunk] \
+            .view(np.int16).reshape(chunk, 2)
         pos, val = pv0[:, 0], pv0[:, 1]
-        nextra = max(0, -(-nnz // LEVEL_CHUNK) - 1)
+        nextra = max(0, -(-nnz // chunk) - 1)
         self._prev_nextra = nextra
         if nextra:
             ext = [np.asarray(get("lv_chunks", c)[f])
@@ -413,11 +490,14 @@ class H265DeviceEncoder:
         return nnz, arrays
 
     def _make_run_pending(self, f, idr, qp, qp_c, poc, get, cap,
-                          recons, run_ref, frames, source, fidx):
+                          recons, run_ref, frames, source, fidx,
+                          chunk=None, dense_get=None):
         def finish() -> EncodedFrame:
             recon_dev = tuple(r[f] for r in recons)
             row = get("packed")[f]
-            nnz, arrays = self._unpack_row(row, get, f, cap)
+            nnz, arrays = self._unpack_row(row, get, f, cap,
+                                           chunk=chunk,
+                                           dense_get=dense_get)
             if arrays is None:
                 sao_f = get("sao")[f] if self.sao else None
                 data = self._host_fallback(f, idr, qp, qp_c, poc,

@@ -1614,12 +1614,12 @@ encode_frame_b_rows = jax.jit(_b_frame_core,
 
 @partial(jax.jit,
          static_argnames=("cap", "any_idr", "deblock", "sao",
-                          "tu_split", "source_fn"))
+                          "tu_split", "source_fn", "idr_only"))
 def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
                     ref_y, ref_u, ref_v, frame_idx,
                     cap: int, any_idr: bool, deblock: bool,
                     sao: bool = False, tu_split: bool = False,
-                    source_fn=None):
+                    source_fn=None, idr_only: bool = False):
     """Encode a run of frames in ONE compiled dispatch (the HEVC
     analog of codec/h264/device_entropy.encode_run_packed).
 
@@ -1634,7 +1634,9 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
     """
 
     def one_frame(ref, y, u, v, idr, qp, qp_c):
-        if any_idr:
+        if idr_only:
+            outs = _i_frame_core(y, u, v, qp, qp_c)
+        elif any_idr:
             outs = jax.lax.cond(
                 idr,
                 lambda r: _i_frame_core(y, u, v, qp, qp_c),
@@ -1682,10 +1684,69 @@ def encode_run_rows(ys, us, vs, idr_flags, qps, qpcs,
     return _pack_run_streams(outs, idr_flags.shape[0])
 
 
+_i_core_jit = jax.jit(_i_frame_core)
+
+
+def encode_idr_rows(y, u, v, qp, qp_c, cap: int,
+                    deblock: bool, sao: bool = False,
+                    chunk: int | None = None):
+    """One IDR frame as TWO dedicated dispatches (intra core, then
+    deblock/compact/pack tail), packed in the run-transfer layout
+    (frame axis of length 1).
+
+    The run scheduler (codec/h265/device.py) splits mixed runs at IDR
+    boundaries and sends IDR frames here. On the axon backend ANY
+    single program that contains _i_frame_core's column scan plus the
+    downstream tail compiles pathologically at 4K (~15-20 min compile
+    and 25-45 s per IDR even warm, whether the frames are wrapped in a
+    lax.scan, guarded by lax.cond, or separated by an
+    optimization_barrier), while the same ops in two programs compile
+    in seconds and run in ~40 ms + a P-tail-sized epilogue."""
+    outs = _i_core_jit(y, u, v, qp, qp_c)
+    return _idr_tail(outs, y, u, v, qp, cap=cap, deblock=deblock,
+                     sao=sao, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("cap", "deblock", "sao", "chunk"))
+def _idr_tail(outs, y, u, v, qp, cap: int, deblock: bool,
+              sao: bool, chunk: int | None):
+    if deblock:
+        cbf = outs["luma_lv"].reshape(
+            *outs["luma_lv"].shape[:2], -1).any(-1)
+        rec = deblock_frame_dev(*outs["recon"], outs["is_intra"],
+                                cbf, outs["mv"], qp,
+                                tu_split=outs["tu_split"],
+                                luma_lv=outs["luma_lv"])
+    else:
+        rec = outs["recon"]
+    out = {"is_intra": outs["is_intra"],
+           "mode": outs["mode"].astype(jnp.int8),
+           "mv": outs["mv"].astype(jnp.int8),
+           "tu_split": outs["tu_split"]}
+    if sao:
+        sp = sao_estimate_dev((y, u, v), rec, qp)
+        rec = sao_apply_dev(rec, sp)
+        out["sao"] = sp
+    pos, val, counts, nnz = _compact_levels(
+        outs["luma_lv"], outs["cb_lv"], outs["cr_lv"], cap)
+    # dense twin of the sparse stream: stays on device unless fetched —
+    # the worst-case intra frame (dense noise) overflows any sparse
+    # cap, and pulling these three arrays (~2 B/slot) beats redoing
+    # the whole frame on the host path by ~30 s
+    out["dense_lv"] = (outs["luma_lv"].astype(jnp.int16),
+                       outs["cb_lv"].astype(jnp.int16),
+                       outs["cr_lv"].astype(jnp.int16))
+    out.update(pos=pos, val=val, counts=counts.astype(jnp.uint16),
+               nnz=nnz, recon=rec)
+    outs1 = jax.tree_util.tree_map(lambda a: a[None], out)
+    return _pack_run_streams(outs1, 1, chunk=chunk)
+
+
 LEVEL_CHUNK = 6144       # sparse-level entries in chunk 0 / extra chunks
 
 
-def run_pack_layout(n_ctb: int, with_mv1: bool = False) -> dict:
+def run_pack_layout(n_ctb: int, with_mv1: bool = False,
+                    chunk: int = None) -> dict:
     """Byte offsets of each section in one frame's row of the packed
     run-transfer buffer (_pack_run_streams). Sections are padded to
     4-byte boundaries so host numpy views land aligned."""
@@ -1704,12 +1765,13 @@ def run_pack_layout(n_ctb: int, with_mv1: bool = False) -> dict:
         off["mv1"] = o
         o += pad4(2 * n_ctb)
     off["lv0"] = o
-    o += 4 * LEVEL_CHUNK
+    o += 4 * (chunk if chunk is not None else LEVEL_CHUNK)
     off["total"] = o
     return off
 
 
-def _pack_run_streams(d, n, with_mv1: bool = False):
+def _pack_run_streams(d, n, with_mv1: bool = False,
+                      chunk: int | None = None):
     """Fuse the per-run transfer set into ONE uint8 buffer per frame.
 
     The axon device tunnel charges ~25 ms fixed latency per transfer
@@ -1726,6 +1788,8 @@ def _pack_run_streams(d, n, with_mv1: bool = False):
     transferred only for frames that overflow chunk 0."""
     nch, ncw = d["is_intra"].shape[1:3]
     n_ctb = nch * ncw
+    if chunk is None:
+        chunk = LEVEL_CHUNK
 
     def u8(a):
         return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(n, -1)
@@ -1745,13 +1809,13 @@ def _pack_run_streams(d, n, with_mv1: bool = False):
         parts.append(pad4(u8(d.pop("mv1").reshape(n, -1))))
     pos = d.pop("pos").reshape(n, -1)
     val = d.pop("val").reshape(n, -1)
-    parts.append(u8(jnp.stack([pos[:, :LEVEL_CHUNK],
-                               val[:, :LEVEL_CHUNK]], axis=-1)))
+    parts.append(u8(jnp.stack([pos[:, :chunk],
+                               val[:, :chunk]], axis=-1)))
     d["packed"] = jnp.concatenate(parts, axis=1)
     d["lv_chunks"] = tuple(
-        jnp.stack([pos[:, s:s + LEVEL_CHUNK],
-                   val[:, s:s + LEVEL_CHUNK]], axis=-1)
-        for s in range(LEVEL_CHUNK, pos.shape[1], LEVEL_CHUNK))
+        jnp.stack([pos[:, s:s + chunk],
+                   val[:, s:s + chunk]], axis=-1)
+        for s in range(chunk, pos.shape[1], chunk))
     return d
 
 

@@ -306,7 +306,49 @@ class SrtClient:
             pass                              # older libsrt
         s.connect(host, port)
         self.negotiated_latency = s.get_int(SRTO_PEERLATENCY)
+        self._abi_probe(s)
         self.sock = s
+
+    @staticmethod
+    def libsrt_version() -> tuple[int, int, int] | None:
+        """(major, minor, patch) via srt_getversion, or None."""
+        lib = load_libsrt()
+        if lib is None or not hasattr(lib, "srt_getversion"):
+            return None
+        try:
+            v = int(lib.srt_getversion())
+        except Exception:
+            return None
+        return (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+
+    def _abi_probe(self, s: "SrtSocket") -> None:
+        """Fail loudly on libsrt ABI drift instead of silently skewed
+        stats: the sockopt ids and SRT_TRACEBSTATS layout here are
+        hand-declared (no dev headers on the host), so a libsrt
+        upgrade could silently shift every field the balancer reads.
+        Checks: srt_getversion is a known-compatible series (1.4/1.5)
+        and a just-connected socket's bstats are physically plausible
+        (msTimeStamp small and monotonic, msRTT sane, zero-ish
+        counters) — garbage offsets fail these immediately."""
+        ver = self.libsrt_version()
+        if ver is not None and not (ver[0] == 1 and 3 <= ver[1] <= 5):
+            raise SrtError(
+                f"libsrt {ver[0]}.{ver[1]}.{ver[2]}: untested ABI "
+                "series — revalidate sockopt ids and the "
+                "SRT_TRACEBSTATS layout in transport/srt.py")
+        st = s.bstats()
+        ok = (0 <= st.msTimeStamp < 600_000
+              and 0.0 <= st.msRTT < 60_000.0
+              and 0 <= st.pktRetransTotal <= 16
+              and 0 <= st.pktSndLossTotal <= 16)
+        st2 = s.bstats()
+        ok = ok and st2.msTimeStamp >= st.msTimeStamp
+        if not ok:
+            raise SrtError(
+                "SRT_TRACEBSTATS layout probe failed "
+                f"(msTimeStamp={st.msTimeStamp}, msRTT={st.msRTT}, "
+                f"retrans={st.pktRetransTotal}) — libsrt ABI drift; "
+                "update the struct layout in transport/srt.py")
 
     def send(self, payload: bytes) -> int:
         assert self.sock is not None

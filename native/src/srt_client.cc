@@ -63,6 +63,7 @@ using srt_close_t = int (*)(int);
 using srt_setsockflag_t = int (*)(int, int, const void*, int);
 using srt_getsockflag_t = int (*)(int, int, void*, int*);
 using srt_bstats_t = int (*)(int, void*, int);
+using srt_getversion_t = uint32_t (*)();
 using srt_getlasterror_str_t = const char* (*)();
 using srt_getrejectreason_t = int (*)(int);
 using srt_rejectreason_str_t = const char* (*)(int);
@@ -78,6 +79,7 @@ struct SrtApi {
   srt_setsockflag_t setsockflag = nullptr;
   srt_getsockflag_t getsockflag = nullptr;
   srt_bstats_t bstats = nullptr;
+  srt_getversion_t getversion = nullptr;
   srt_getlasterror_str_t lasterror_str = nullptr;
   srt_getrejectreason_t getrejectreason = nullptr;
   srt_rejectreason_str_t rejectreason_str = nullptr;
@@ -113,6 +115,8 @@ bool load_api() {
       reinterpret_cast<srt_getrejectreason_t>(sym("srt_getrejectreason"));
   g_api.rejectreason_str =
       reinterpret_cast<srt_rejectreason_str_t>(sym("srt_rejectreason_str"));
+  g_api.getversion =
+      reinterpret_cast<srt_getversion_t>(sym("srt_getversion"));
   return g_api.startup && g_api.create_socket && g_api.connect &&
          g_api.send && g_api.close && g_api.setsockflag &&
          g_api.getsockflag && g_api.bstats;
@@ -174,6 +178,17 @@ void* cc_srt_connect(const char* host, int port, int latency_ms,
     return nullptr;
   };
   if (!load_api()) return fail("libsrt not available");
+  // ABI guard: the sockopt ids + SRT_TRACEBSTATS layout below are
+  // hand-declared (no dev headers); refuse untested libsrt series
+  // instead of reading silently skewed stats
+  if (g_api.getversion) {
+    uint32_t v = g_api.getversion();
+    int major = (v >> 16) & 0xFF, minor = (v >> 8) & 0xFF;
+    if (!(major == 1 && minor >= 3 && minor <= 5)) {
+      return fail("libsrt ABI series untested (revalidate sockopts + "
+                  "SRT_TRACEBSTATS layout in srt_client.cc)");
+    }
+  }
 
   int sock = g_api.create_socket();
   if (sock == kSrtInvalidSock) return fail("srt_create_socket failed");
