@@ -249,7 +249,10 @@ class CeracoderApp:
                       "continuing video-only", file=sys.stderr)
         self.mux = TsMuxer(video_stream_type=self.video_stream_type,
                            with_audio=self.audio is not None,
-                           audio_kind=self.spec.audio_codec)
+                           audio_kind=self.spec.audio_codec,
+                           audio_channels=(self.audio_src.channels
+                                           if self.audio is not None
+                                           else 2))
         self.packer = TsPacker(pkt_size=pkt)
         self.transport = Transport(opts, self.latency)
         self.frames_sent = 0

@@ -128,6 +128,8 @@ def _split_opus_au(blob: bytes) -> list[bytes]:
         while pos < len(blob) and blob[pos] == 0xFF:
             size += 255
             pos += 1
+        if pos >= len(blob):
+            raise ValueError("truncated Opus control header")
         size += blob[pos]
         pos += 1
         pos += size

@@ -121,23 +121,41 @@ def assemble_i_cabac(outs: dict, qp: int, idr_pic_id: int, mbh: int,
                      mbw: int, pic_init_qp: int, deblock: bool,
                      snake: np.ndarray) -> bytes:
     ac_luma = np.asarray(outs["ac_luma"]).reshape(mbh, mbw, 4, 4, 15)
-    dc_luma = np.asarray(outs["dc_luma"]).reshape(mbh, mbw, 16)
-    dc_chroma = np.asarray(outs["dc_chroma"])      # (mbh, mbw, 2, 4)
-    ac_chroma = np.asarray(outs["ac_chroma"])      # (mbh,mbw,2,2,2,15)
-    mode_l = np.asarray(outs["mode_luma"]).reshape(mbh, mbw)
-    mode_c = np.asarray(outs["mode_chroma"]).reshape(mbh, mbw)
     sr, sc = snake[:, 0], snake[:, 1]
+    arrays = {
+        "mode_l": np.asarray(outs["mode_luma"]).reshape(mbh, mbw),
+        "mode_c": np.asarray(outs["mode_chroma"]).reshape(mbh, mbw),
+        "dc_luma": np.asarray(outs["dc_luma"]).reshape(mbh, mbw, 16),
+        "ac_luma": ac_luma[:, :, sr, sc],          # (mbh, mbw, 16, 15)
+        "dc_chroma": np.asarray(outs["dc_chroma"]),
+        "ac_chroma": np.asarray(outs["ac_chroma"])
+        .reshape(mbh, mbw, 2, 4, 15),
+    }
+    return assemble_i_snake(arrays, qp, idr_pic_id, mbh, mbw,
+                            pic_init_qp, deblock)
 
+
+def assemble_i_snake(arrays: dict, qp: int, idr_pic_id: int, mbh: int,
+                     mbw: int, pic_init_qp: int,
+                     deblock: bool) -> bytes:
+    """I-slice CABAC assembly from coding-order arrays: mode_l/mode_c
+    (mbh, mbw), dc_luma (mbh, mbw, 16), ac_luma snake (mbh, mbw, 16,
+    15), dc_chroma (mbh, mbw, 2, 4), ac_chroma (mbh, mbw, 2, 4, 15) —
+    the layout the fused-run transfer produces (cabac_run.py)."""
+    mode_l = arrays["mode_l"]
+    mode_c = arrays["mode_c"]
+    dc_luma = arrays["dc_luma"]
+    acs_all = arrays["ac_luma"]
+    dc_chroma = arrays["dc_chroma"]
+    ac_chroma = arrays["ac_chroma"]
     hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
                                 True, 0, idr_pic_id))
             for r in range(mbh)]
-    # snake-order AC blocks once for both paths
-    acs_all = ac_luma[:, :, sr, sc]                # (mbh, mbw, 16, 15)
     rows = _native_rows(True, qp, mbh, mbw, hdrs, {
         "mode_l": mode_l, "mode_c": mode_c, "dc_luma": dc_luma,
         "ac_luma": acs_all,
         "dc_chroma": dc_chroma,
-        "ac_chroma": ac_chroma.reshape(mbh, mbw, 2, 4, 15)})
+        "ac_chroma": ac_chroma})
     if rows is None:
         rows = []
         for row in range(mbh):
@@ -163,17 +181,34 @@ def assemble_i_cabac(outs: dict, qp: int, idr_pic_id: int, mbh: int,
 def assemble_p_cabac(outs: dict, qp: int, frame_num: int, mbh: int,
                      mbw: int, pic_init_qp: int, deblock: bool,
                      snake: np.ndarray) -> bytes:
-    mvg = np.asarray(outs["mv"]).astype(np.int64)  # (mbh, mbw, 2)
     ll = np.asarray(outs["luma_levels"]).reshape(mbh, mbw, 4, 4, 16)
-    dc_chroma = np.asarray(outs["dc_chroma"])
-    ac_chroma = np.asarray(outs["ac_chroma"])
     sr, sc = snake[:, 0], snake[:, 1]
+    arrays = {
+        "mv": np.asarray(outs["mv"]).astype(np.int64),
+        "luma_lv": ll[:, :, sr, sc],               # (mbh, mbw, 16, 16)
+        "dc_chroma": np.asarray(outs["dc_chroma"]),
+        "ac_chroma": np.asarray(outs["ac_chroma"])
+        .reshape(mbh, mbw, 2, 4, 15),
+    }
+    return assemble_p_snake(arrays, qp, frame_num, mbh, mbw,
+                            pic_init_qp, deblock)
 
-    nz44 = (ll != 0).any(-1)                       # (mbh, mbw, 4, 4)
-    qbits = np.zeros((mbh, mbw, 4), np.int64)
-    for q in range(4):
-        r0, c0 = 2 * (q // 2), 2 * (q % 2)
-        qbits[..., q] = nz44[:, :, r0:r0 + 2, c0:c0 + 2].any((-1, -2))
+
+def assemble_p_snake(arrays: dict, qp: int, frame_num: int, mbh: int,
+                     mbw: int, pic_init_qp: int,
+                     deblock: bool) -> bytes:
+    """P-slice CABAC assembly from coding-order arrays: mv (mbh, mbw,
+    2) quarter-pel, luma_lv snake (mbh, mbw, 16, 16), dc_chroma (mbh,
+    mbw, 2, 4), ac_chroma (mbh, mbw, 2, 4, 15) — the layout the
+    fused-run transfer produces (cabac_run.py)."""
+    mvg = np.asarray(arrays["mv"]).astype(np.int64)
+    blocks_all = arrays["luma_lv"]                 # snake order
+    dc_chroma = arrays["dc_chroma"]
+    ac_chroma = arrays["ac_chroma"]
+
+    # snake blocks 4q..4q+3 are the 4 blocks of 8x8 quadrant q
+    nzb = (blocks_all != 0).any(-1)                # (mbh, mbw, 16)
+    qbits = nzb.reshape(mbh, mbw, 4, 4).any(-1).astype(np.int64)
     cbp_luma = (qbits << np.arange(4)).sum(-1)
     any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
     any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
@@ -190,11 +225,10 @@ def assemble_p_cabac(outs: dict, qp: int, frame_num: int, mbh: int,
     hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
                                 False, frame_num, 0))
             for r in range(mbh)]
-    blocks_all = ll[:, :, sr, sc]                  # (mbh, mbw, 16, 16)
     rows = _native_rows(False, qp, mbh, mbw, hdrs, {
         "skip": skip, "mvd": mvd, "luma_lv": blocks_all,
         "dc_chroma": dc_chroma,
-        "ac_chroma": ac_chroma.reshape(mbh, mbw, 2, 4, 15)})
+        "ac_chroma": ac_chroma})
     if rows is None:
         rows = []
         for row in range(mbh):

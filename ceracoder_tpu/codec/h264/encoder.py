@@ -159,9 +159,15 @@ class H264Encoder:
         self.qp = qp
         self.gop = max(1, gop)          # 1 = all-intra
         self.deblock = deblock
-        # CABAC entropy (Main profile) runs on the host path; the
-        # device bit-packer speaks CAVLC only
+        # CABAC entropy (Main profile) runs on the host; the device
+        # bit-packer speaks CAVLC only. With device dispatch enabled
+        # (the default) CABAC mode uses the fused-run path: device
+        # compute in one lax.scan per run, sparse-compacted syntax
+        # transfer, threaded native row coder (cabac_run.py).
+        # device_entropy=False + cabac=True selects the dense
+        # per-frame host path (the executable spec, kept for tests).
         self.cabac = cabac
+        self.cabac_fused = cabac and device_entropy
         self.device_entropy = device_entropy and not cabac
         # per-row packed capacity in 32-bit words; overflow falls back to
         # the host entropy path for that frame (detected exactly)
@@ -174,6 +180,15 @@ class H264Encoder:
         # adaptive transfer prefetch: chunks used by the last frame of
         # each kind (I / P), +1 margin, started at dispatch time
         self._prev_chunks = {True: 4, False: 1}
+        # fused-CABAC sparse-level capacities (entries, multiples of
+        # cabac_run.CHUNK): P frames stream in CHUNK-sized pieces; the
+        # IDR chunk is sized so a typical all-intra frame transfers in
+        # one piece (the device link charges fixed latency per fetch)
+        from ceracoder_tpu.codec.h264.cabac_run import CHUNK
+        n_mb = self.mbw * self.mbh
+        self._cabac_cap = -(-max(2 * CHUNK, n_mb * 48) // CHUNK) * CHUNK
+        self._cabac_idr_chunk = -(-(n_mb * 96) // CHUNK) * CHUNK
+        self._prev_cabac_extra = 0
         self.chroma_qp_offset = chroma_qp_offset
         self.sps = SpsConfig(width=width, height=height,
                              fps_num=fps_num, fps_den=fps_den,
@@ -234,6 +249,10 @@ class H264Encoder:
         device->host tunnel latency with compute (the difference between
         ~2 fps and real-time at 1080p — see device_entropy docstring).
         """
+        if self.cabac_fused:
+            return self._encode_run_cabac(
+                frames=[(y, u, v)], qp=qp, qps=None, source=None,
+                indices=None, force_idr=force_idr)[0]
         qp = self.qp if qp is None else qp
         qp_c = chroma_qp(qp, self.chroma_qp_offset)
         import jax.numpy as jnp
@@ -311,11 +330,12 @@ class H264Encoder:
         from ceracoder_tpu.codec.h264.device_entropy import (
             HDR_SLOTS, encode_run_packed)
 
+        if self.cabac_fused:
+            return self._encode_run_cabac(frames, qp, qps, source,
+                                          indices, force_idr)
         if not self.device_entropy:
-            # CABAC (or host-entropy) mode: the device bit-packer only
-            # speaks CAVLC, so a run is a sequence of per-frame
-            # dispatches through the host entropy path (the native C++
-            # row coder). Same interface, one dispatch per frame.
+            # dense host-entropy mode (the executable spec): one
+            # synchronous per-frame dispatch through the host path.
             if frames is None:
                 frames = [source.frame(i) for i in indices]
             return [
@@ -453,6 +473,171 @@ class H264Encoder:
                                      long_start_code=(row == 0)))
                 off += int(row_words[row]) * 4
             return EncodedFrame(data=b"".join(nals), keyframe=idr, qp=qp,
+                                _recon_dev=recon_f)
+
+        return PendingFrame(finish, idr, qp)
+
+    def _encode_run_cabac(self, frames, qp, qps, source, indices,
+                          force_idr: bool) -> list[PendingFrame]:
+        """Fused-run CABAC scheduler: device compute stays in one
+        lax.scan per GOP segment (IDR frames dispatch alone through
+        the intra executable, P spans through the P-run executable —
+        same split as the HEVC run path), the sparse-compacted syntax
+        transfers per run, and the threaded native row coder
+        (native/src/h264_cabac.cc) finishes each frame on .result()
+        so entropy overlaps the next run's device compute."""
+        import jax.numpy as jnp
+
+        from ceracoder_tpu.codec.h264 import cabac_run
+
+        nf = len(frames) if frames is not None else len(indices)
+        if nf == 0:
+            return []
+
+        # split mixed runs at IDR boundaries
+        sim_pos, sim_have = self._gop_pos, self._ref is not None
+        flags = []
+        for f in range(nf):
+            idr = ((force_idr and f == 0) or not sim_have
+                   or sim_pos >= self.gop)
+            flags.append(idr)
+            sim_pos = 1 if idr else sim_pos + 1
+            sim_have = True
+        if any(flags) and nf > 1:
+            cuts = [f for f in range(nf) if flags[f]]
+            bounds = sorted({0, nf} | set(cuts) | {c + 1 for c in cuts})
+            pend: list[PendingFrame] = []
+            for a, b in zip(bounds, bounds[1:]):
+                pend += self._encode_run_cabac(
+                    None if frames is None else frames[a:b],
+                    qp,
+                    None if qps is None else qps[a:b],
+                    source,
+                    None if indices is None else list(indices)[a:b],
+                    flags[a])
+            return pend
+        idr_run = bool(flags[0])        # single IDR, or pure-P span
+
+        qp_a = np.zeros(nf, np.int32)
+        qpc_a = np.zeros(nf, np.int32)
+        fnum_a = np.zeros(nf, np.int32)
+        ipid_a = np.zeros(nf, np.int32)
+        for f in range(nf):
+            qp_f = (qps[f] if qps is not None
+                    else (self.qp if qp is None else qp))
+            qp_a[f] = qp_f
+            qpc_a[f] = chroma_qp(qp_f, self.chroma_qp_offset)
+            fnum_a[f] = 0 if flags[f] else self.frame_num
+            ipid_a[f] = self.idr_pic_id
+            self._advance_state(flags[f])
+            self.frame_idx += 1
+
+        prev_ref = self._ref
+
+        def planes_of(f):
+            if frames is not None:
+                return tuple(jnp.asarray(p) for p in frames[f])
+            return source.gen_fn(int(indices[f]))
+
+        if idr_run:
+            chunk = self._cabac_idr_chunk
+            cap = max(self._cabac_cap, 2 * chunk)
+            y, u, v = planes_of(0)
+            packed, chunks, recon = cabac_run.encode_idr_syntax(
+                y, u, v, jnp.asarray(qp_a[0]), jnp.asarray(qpc_a[0]),
+                cap=cap, chunk=chunk, deblock=self.deblock)
+            self._ref = recon
+            recons = None
+        else:
+            chunk = cabac_run.CHUNK
+            cap = self._cabac_cap
+            if frames is not None:
+                ys = jnp.stack([jnp.asarray(t[0]) for t in frames])
+                us = jnp.stack([jnp.asarray(t[1]) for t in frames])
+                vs = jnp.stack([jnp.asarray(t[2]) for t in frames])
+                source_fn = None
+                fidx = np.zeros(nf, np.int32)
+            else:
+                dummy = jnp.zeros((nf, 1, 1), jnp.uint8)
+                ys = us = vs = dummy
+                source_fn = source.gen_fn
+                fidx = np.asarray(indices, np.int32)
+            if prev_ref is None:      # unreachable: flags[0] would be IDR
+                raise AssertionError("P run without a reference")
+            packed, chunks, recons = cabac_run.encode_run_syntax_p(
+                ys, us, vs, jnp.asarray(qp_a), jnp.asarray(qpc_a),
+                *prev_ref, jnp.asarray(fidx), cap=cap, chunk=chunk,
+                deblock=self.deblock, source_fn=source_fn)
+            self._ref = tuple(r[-1] for r in recons)
+            recon = None
+
+        # start the device->host copies now so they overlap compute:
+        # the packed row always, plus the extra level chunks the
+        # previous run needed
+        try:
+            packed.copy_to_host_async()
+            for c in chunks[:self._prev_cabac_extra]:
+                c.copy_to_host_async()
+        except AttributeError:
+            pass
+
+        cache: dict = {}
+
+        def get_packed():
+            if "p" not in cache:
+                cache["p"] = np.asarray(packed)
+            return cache["p"]
+
+        def get_chunk(c):
+            if ("c", c) not in cache:
+                cache[("c", c)] = np.asarray(chunks[c])
+            return cache[("c", c)]
+
+        pend = []
+        for f in range(nf):
+            pend.append(self._make_cabac_pending(
+                f, bool(flags[f]), int(qp_a[f]), int(qpc_a[f]),
+                int(fnum_a[f]), int(ipid_a[f]), get_packed, get_chunk,
+                cap, chunk, recon, recons, prev_ref, planes_of))
+        return pend
+
+    def _make_cabac_pending(self, f, idr, qp, qp_c, frame_num,
+                            idr_pic_id, get_packed, get_chunk, cap,
+                            chunk, recon, recons, run_ref,
+                            planes_of) -> PendingFrame:
+        from ceracoder_tpu.codec.h264.cabac_assemble import (
+            assemble_i_snake,
+            assemble_p_snake,
+        )
+        from ceracoder_tpu.codec.h264.cabac_run import unpack_syntax
+
+        def finish() -> EncodedFrame:
+            recon_f = (recon if recons is None
+                       else tuple(r[f] for r in recons))
+            row = get_packed()[f]
+            nnz, arrays = unpack_syntax(row, get_chunk, f, self.mbh,
+                                        self.mbw, idr, cap, chunk)
+            if arrays is None:
+                # capacity overflow: redo this frame on the exact
+                # dense host path, referencing the in-run recon
+                yj, uj, vj = planes_of(f)
+                ref = (run_ref if f == 0 or recons is None
+                       else tuple(r[f - 1] for r in recons))
+                data, _ = self._encode_host_path(
+                    yj, uj, vj, qp, qp_c, idr, frame_num, idr_pic_id,
+                    ref)
+            else:
+                if not idr:
+                    self._prev_cabac_extra = max(0, -(-nnz // chunk) - 1)
+                if idr:
+                    data = assemble_i_snake(
+                        arrays, qp, idr_pic_id, self.mbh, self.mbw,
+                        self.pps.pic_init_qp, self.deblock)
+                else:
+                    data = assemble_p_snake(
+                        arrays, qp, frame_num, self.mbh, self.mbw,
+                        self.pps.pic_init_qp, self.deblock)
+            return EncodedFrame(data=data, keyframe=idr, qp=qp,
                                 _recon_dev=recon_f)
 
         return PendingFrame(finish, idr, qp)

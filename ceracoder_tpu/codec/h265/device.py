@@ -455,6 +455,11 @@ class H265DeviceEncoder:
         lay = run_pack_layout(n_ctb, with_mv1=with_mv1, chunk=chunk)
         nnz = int(row[lay["nnz"]:lay["nnz"] + 4].view(np.int32)[0])
         overflow = nnz > cap
+        if overflow:
+            # an overflowing frame transfers no valid extra chunks —
+            # reset the prefetch hint so the stale count from an
+            # earlier run stops driving lv_chunks prefetches
+            self._prev_nextra = 0
         if overflow and dense_get is None:
             return nnz, None
         meta = row[lay["meta"]:lay["meta"] + n_ctb].reshape(nch, ncw)

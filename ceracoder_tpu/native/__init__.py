@@ -126,6 +126,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.cc_tsmux_create2.restype = ctypes.c_void_p
     lib.cc_tsmux_create2.argtypes = [ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int]
+    if hasattr(lib, "cc_tsmux_create3"):
+        lib.cc_tsmux_create3.restype = ctypes.c_void_p
+        lib.cc_tsmux_create3.argtypes = [ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int]
     lib.cc_tsmux_destroy.argtypes = [ctypes.c_void_p]
     lib.cc_outbuf_create.restype = ctypes.c_void_p
     lib.cc_outbuf_destroy.argtypes = [ctypes.c_void_p]
@@ -280,14 +284,20 @@ class NativeTsMuxer:
     """Same surface as transport.mpegts.TsMuxer, C++ implementation."""
 
     def __init__(self, video_stream_type: int = 0x1B,
-                 with_audio: bool = False, audio_kind: str = "aac"):
+                 with_audio: bool = False, audio_kind: str = "aac",
+                 audio_channels: int = 2):
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        self._h = lib.cc_tsmux_create2(
-            video_stream_type, int(with_audio),
-            1 if audio_kind == "opus" else 0)
+        kind = 1 if audio_kind == "opus" else 0
+        if hasattr(lib, "cc_tsmux_create3"):
+            self._h = lib.cc_tsmux_create3(
+                video_stream_type, int(with_audio), kind,
+                audio_channels)
+        else:
+            self._h = lib.cc_tsmux_create2(
+                video_stream_type, int(with_audio), kind)
         self._out = _OutBuf(lib)
 
     def psi(self) -> bytes:

@@ -1328,30 +1328,21 @@ def _i_frame_core(y, u, v, qp, qp_c):
     }
 
 
-def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
-    """Sparse-compact the quantized levels of one frame for transfer.
+def compact_slots(flat, cap: int):
+    """Sparse-compact (n, 384) int16 slot rows for transfer.
 
-    Flattens per CTB as [luma 256 | cb 64 | cr 64] (raster inside each
-    TU) and keeps only nonzeros, in order. Returns
-      pos    (cap,) int16  position within the CTB's 384-slot layout
-      val    (cap,) int16  level
-      counts (n_ctb, 3) int32 per-TU nonzero counts
-      nnz    () int32 total (> cap means the buffer overflowed and the
-                             frame must be redone on the host path)
-    The stream is ordered CTB-major, so the host entropy stage
-    reconstructs each TU with a running offset — no full-frame dense
-    materialization on the host side.
+    Keeps only nonzeros, in slot order within each row (row-major
+    stream). Returns
+      pos  (cap,) int16  slot index within the row's 384-slot layout
+      val  (cap,) int16  level
+      nnz  () int32 total (> cap means the buffer overflowed and the
+                           frame must be redone on the host path)
+    Shared by the HEVC CTB stream (384 = 256 luma + 64 cb + 64 cr) and
+    the H.264 CABAC MB stream (codec/h264/cabac_run.py, also 384
+    slots/MB).
     """
-    nch, ncw = luma_lv.shape[:2]
-    n_ctb = nch * ncw
-    flat = jnp.concatenate([
-        luma_lv.reshape(n_ctb, 256),
-        cb_lv.reshape(n_ctb, 64),
-        cr_lv.reshape(n_ctb, 64),
-    ], axis=1).astype(jnp.int16)                      # (n_ctb, 384)
+    n_ctb = flat.shape[0]
     mask = flat != 0
-    counts = jnp.stack([mask[:, :256].sum(1), mask[:, 256:320].sum(1),
-                        mask[:, 320:].sum(1)], axis=1).astype(jnp.int32)
 
     # three-level compaction: a whole-frame element scatter costs
     # ~45 ms on TPU (~14 ns/update over all 3.1M slots) while row
@@ -1408,6 +1399,29 @@ def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
     # host fallback
     nnz = jnp.where((n_seg_nz > segcap) | (n_sub_nz > subcap),
                     jnp.int32(cap + 1), nnz)
+    return pos, val, nnz
+
+
+def _compact_levels(luma_lv, cb_lv, cr_lv, cap: int):
+    """Sparse-compact the quantized levels of one frame for transfer.
+
+    Flattens per CTB as [luma 256 | cb 64 | cr 64] (raster inside each
+    TU); see compact_slots. Also returns counts (nch, ncw, 3) int32
+    per-TU nonzero counts. The stream is CTB-major, so the host
+    entropy stage reconstructs each TU with a running offset — no
+    full-frame dense materialization on the host side.
+    """
+    nch, ncw = luma_lv.shape[:2]
+    n_ctb = nch * ncw
+    flat = jnp.concatenate([
+        luma_lv.reshape(n_ctb, 256),
+        cb_lv.reshape(n_ctb, 64),
+        cr_lv.reshape(n_ctb, 64),
+    ], axis=1).astype(jnp.int16)                      # (n_ctb, 384)
+    mask = flat != 0
+    counts = jnp.stack([mask[:, :256].sum(1), mask[:, 256:320].sum(1),
+                        mask[:, 320:].sum(1)], axis=1).astype(jnp.int32)
+    pos, val, nnz = compact_slots(flat, cap)
     return pos, val, counts.reshape(nch, ncw, 3), nnz
 
 

@@ -72,15 +72,17 @@ def _pat_section() -> bytes:
 
 
 def _pmt_section(video_stream_type: int, with_audio: bool,
-                 audio_kind: str = "aac") -> bytes:
+                 audio_kind: str = "aac",
+                 audio_channels: int = 2) -> bytes:
     streams = bytes([video_stream_type,
                      0xE0 | (VIDEO_PID >> 8), VIDEO_PID & 0xFF,
                      0xF0, 0x00])
     if with_audio and audio_kind == "opus":
         # Opus-in-TS: private stream_type + 'Opus' registration and
-        # the DVB extension descriptor (0x7F ext 0x80, channel count)
+        # the DVB extension descriptor (0x7F ext 0x80,
+        # channel_config_code: 1 = mono, 2 = stereo)
         desc = (bytes([0x05, 4]) + b"Opus"
-                + bytes([0x7F, 2, 0x80, 2]))
+                + bytes([0x7F, 2, 0x80, audio_channels & 0xFF]))
         streams += bytes([STREAM_TYPE_PRIVATE,
                           0xE0 | (AUDIO_PID >> 8), AUDIO_PID & 0xFF,
                           0xF0 | (len(desc) >> 8), len(desc) & 0xFF])             + desc
@@ -128,10 +130,12 @@ class TsMuxer:
     """Stateful TS muxer for one program (video + optional AAC audio)."""
 
     def __init__(self, video_stream_type: int = STREAM_TYPE_H264,
-                 with_audio: bool = False, audio_kind: str = "aac"):
+                 with_audio: bool = False, audio_kind: str = "aac",
+                 audio_channels: int = 2):
         self.video_stream_type = video_stream_type
         self.with_audio = with_audio
         self.audio_kind = audio_kind
+        self.audio_channels = audio_channels
         self._cc = {PAT_PID: 0, PMT_PID: 0, VIDEO_PID: 0, AUDIO_PID: 0}
 
     def _bump_cc(self, pid: int, n: int) -> np.ndarray:
@@ -228,7 +232,8 @@ class TsMuxer:
                           int(self._bump_cc(PAT_PID, 1)[0]))
         pmt = _psi_packet(PMT_PID, _pmt_section(self.video_stream_type,
                                                 self.with_audio,
-                                                self.audio_kind),
+                                                self.audio_kind,
+                                                self.audio_channels),
                           int(self._bump_cc(PMT_PID, 1)[0]))
         return pat + pmt
 

@@ -322,14 +322,18 @@ class SrtClient:
         return (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
 
     def _abi_probe(self, s: "SrtSocket") -> None:
-        """Fail loudly on libsrt ABI drift instead of silently skewed
-        stats: the sockopt ids and SRT_TRACEBSTATS layout here are
+        """Detect libsrt ABI drift instead of silently skewed stats:
+        the sockopt ids and SRT_TRACEBSTATS layout here are
         hand-declared (no dev headers on the host), so a libsrt
         upgrade could silently shift every field the balancer reads.
-        Checks: srt_getversion is a known-compatible series (1.4/1.5)
-        and a just-connected socket's bstats are physically plausible
-        (msTimeStamp small and monotonic, msRTT sane, zero-ish
-        counters) — garbage offsets fail these immediately."""
+
+        An unknown version series (not 1.3-1.5) HARD-fails — the
+        layout is genuinely unvalidated there. The plausibility
+        heuristics on a just-connected socket's bstats (msTimeStamp
+        small and monotonic, msRTT sane, near-zero loss counters) only
+        WARN: on a lossy link early data packets may legitimately have
+        been retransmitted already, and killing a working connection
+        over a heuristic would be worse than skewed telemetry."""
         ver = self.libsrt_version()
         if ver is not None and not (ver[0] == 1 and 3 <= ver[1] <= 5):
             raise SrtError(
@@ -344,11 +348,13 @@ class SrtClient:
         st2 = s.bstats()
         ok = ok and st2.msTimeStamp >= st.msTimeStamp
         if not ok:
-            raise SrtError(
-                "SRT_TRACEBSTATS layout probe failed "
-                f"(msTimeStamp={st.msTimeStamp}, msRTT={st.msRTT}, "
-                f"retrans={st.pktRetransTotal}) — libsrt ABI drift; "
-                "update the struct layout in transport/srt.py")
+            import sys
+            print(
+                "ceracoder: warning: SRT_TRACEBSTATS plausibility "
+                f"probe failed (msTimeStamp={st.msTimeStamp}, "
+                f"msRTT={st.msRTT}, retrans={st.pktRetransTotal}) — "
+                "possible libsrt ABI drift; balancer stats may be "
+                "skewed (transport/srt.py)", file=sys.stderr)
 
     def send(self, payload: bytes) -> int:
         assert self.sock is not None

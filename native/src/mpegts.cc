@@ -75,16 +75,18 @@ std::vector<uint8_t> pat_section() {
 }
 
 std::vector<uint8_t> pmt_section(uint8_t video_stream_type, bool with_audio,
-                                 bool opus_audio) {
+                                 bool opus_audio, int audio_channels = 2) {
   std::vector<uint8_t> streams = {video_stream_type,
                                   static_cast<uint8_t>(0xE0 | (kVideoPid >> 8)),
                                   kVideoPid & 0xFF, 0xF0, 0x00};
   if (with_audio && opus_audio) {
-    // 'Opus' registration + DVB extension descriptor (0x7F/0x80, ch)
+    // 'Opus' registration + DVB extension descriptor (0x7F/0x80,
+    // channel_config_code: 1 = mono, 2 = stereo)
     uint8_t a[] = {kStreamTypePrivate,
                    static_cast<uint8_t>(0xE0 | (kAudioPid >> 8)),
                    kAudioPid & 0xFF, 0xF0, 10,
-                   0x05, 4, 'O', 'p', 'u', 's', 0x7F, 2, 0x80, 2};
+                   0x05, 4, 'O', 'p', 'u', 's', 0x7F, 2, 0x80,
+                   static_cast<uint8_t>(audio_channels)};
     streams.insert(streams.end(), a, a + sizeof(a));
   } else if (with_audio) {
     uint8_t a[] = {kStreamTypeAacAdts,
@@ -146,14 +148,15 @@ void write_pcr(uint8_t* p, uint64_t pcr90) {
 class TsMuxer {
  public:
   TsMuxer(uint8_t video_stream_type, bool with_audio,
-          bool opus_audio = false)
+          bool opus_audio = false, int audio_channels = 2)
       : video_stream_type_(video_stream_type), with_audio_(with_audio),
-        opus_audio_(opus_audio) {}
+        opus_audio_(opus_audio), audio_channels_(audio_channels) {}
 
   void psi(std::vector<uint8_t>* out) {
     psi_packet(out, kPatPid, pat_section(), bump_cc(kPatPid, 1));
     psi_packet(out, kPmtPid,
-               pmt_section(video_stream_type_, with_audio_, opus_audio_),
+               pmt_section(video_stream_type_, with_audio_, opus_audio_,
+                           audio_channels_),
                bump_cc(kPmtPid, 1));
   }
 
@@ -275,6 +278,7 @@ class TsMuxer {
   uint8_t video_stream_type_;
   bool with_audio_;
   bool opus_audio_;
+  int audio_channels_;
   int cc_[4] = {0, 0, 0, 0};
 };
 
@@ -340,6 +344,12 @@ void* cc_tsmux_create2(int video_stream_type, int with_audio,
                        int audio_kind) {
   return new TsMuxer(static_cast<uint8_t>(video_stream_type),
                      with_audio != 0, audio_kind == 1);
+}
+// + audio channel count (declared in the Opus PMT extension descriptor)
+void* cc_tsmux_create3(int video_stream_type, int with_audio,
+                       int audio_kind, int audio_channels) {
+  return new TsMuxer(static_cast<uint8_t>(video_stream_type),
+                     with_audio != 0, audio_kind == 1, audio_channels);
 }
 void cc_tsmux_destroy(void* h) { delete static_cast<TsMuxer*>(h); }
 
