@@ -21,6 +21,12 @@ tunnel (~35-40 ms/launch vs a few ms/frame compute).
 Codec selection: CERACODER_BENCH=hevc|h264 (default hevc — the
 flagship pipeline); size override CERACODER_BENCH_SIZE=WxH for CPU
 smoke runs.
+
+CERACODER_BENCH=full measures the PRODUCT loop instead of the bare
+encoder: the CeracoderApp pipeline (device-source encode -> TS mux +
+AAC audio -> 1316 B packing -> loopback SRT send, housekeeping ticks
+interleaved — app/main.py), i.e. everything the reference's process
+does per frame (reference: src/ceracoder.c:297-339 + 237-295).
 """
 
 import json
@@ -79,6 +85,83 @@ def bench_encoder(make_encoder, w, h):
     return 1.0 / dt, nbytes
 
 
+def bench_full_loop(w, h, codec: str):
+    """Drive the real app end to end (device-source encode -> mux ->
+    audio -> packing -> loopback SRT/UDP send) unpaced; returns
+    steady-state frames/s over N frames after a warmup pass that
+    compiles the executables."""
+    import tempfile
+
+    from ceracoder_tpu.app.cli import CliOptions
+    from ceracoder_tpu.app.main import CeracoderApp
+    from ceracoder_tpu.transport.srt import srt_available
+
+    job = (f"[source]\nkind = devtest\nwidth = {w}\nheight = {h}\n"
+           f"fps = 60\n\n[encode]\ncodec = {codec}\ngop = {GOP}\n"
+           f"run = {RUN}\n\n[audio]\nkind = tone\nbitrate = 128\n")
+    jf = tempfile.NamedTemporaryFile("w", suffix=".job", delete=False)
+    jf.write(job)
+    jf.close()
+
+    listener = None
+    if srt_available():
+        import threading
+
+        from ceracoder_tpu.transport.srt import (
+            SRTO_RCVLATENCY,
+            SrtError,
+            SrtSocket,
+        )
+
+        class _Listener:
+            def __init__(self, port):
+                self.sock = SrtSocket()
+                self.sock.set_int(SRTO_RCVLATENCY, 120)
+                self.sock.bind("127.0.0.1", port)
+                self.sock.listen()
+                self.nbytes = 0
+                self.thread = threading.Thread(target=self._serve,
+                                               daemon=True)
+                self.thread.start()
+
+            def _serve(self):
+                try:
+                    peer = self.sock.accept()
+                    while True:
+                        data = peer.recv(2000)
+                        if not data:
+                            return
+                        self.nbytes += len(data)
+                except SrtError:
+                    pass
+
+        port = 42710
+        listener = _Listener(port)
+        addr = "127.0.0.1"
+    else:
+        addr, port = "udp", 42710
+
+    # realtime pacing is load-bearing: libsrt with SRTO_MAXBW=0 paces
+    # output to the input rate, so an unpaced bulk send throttles at
+    # the link's token rate and the balancer (correctly) reads that as
+    # congestion. The product question is "does the full loop hold the
+    # frame rate", so measure achieved fps against the 60 fps pacer.
+    def run_once(nframes):
+        opts = CliOptions(job_file=jf.name, addr=addr, port=port,
+                          latency=250)
+        app = CeracoderApp(opts, max_frames=nframes, realtime=True)
+        t0 = time.time()
+        app.run()
+        return app.frames_sent / (time.time() - t0)
+
+    run_once(2 * RUN)             # compile warmup
+    fps = run_once(N)
+    if listener is not None and listener.nbytes == 0:
+        raise RuntimeError("loopback SRT listener received nothing")
+    os.unlink(jf.name)
+    return fps
+
+
 def main():
     codec = os.environ.get("CERACODER_BENCH", "hevc")
     size = os.environ.get("CERACODER_BENCH_SIZE", "1920x1088")
@@ -86,6 +169,16 @@ def main():
 
     label = {(1920, 1088): "1080p60", (3840, 2160): "4k60",
              (1280, 720): "720p60"}.get((w, h), f"{w}x{h}")
+    if codec == "full":
+        vcodec = os.environ.get("CERACODER_BENCH_CODEC", "hevc")
+        fps = bench_full_loop(w, h, vcodec)
+        print(json.dumps({
+            "metric": f"{label}_{vcodec}_full_product_loop",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+        return 0
     if codec == "hevc":
         from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
 

@@ -133,6 +133,18 @@ def open_source(spec: JobSpec) -> FrameSource:
     if spec.kind == "test":
         return TestPatternSource(width=spec.width, height=spec.height,
                                  fps_num=spec.fps_num, fps_den=spec.fps_den)
+    if spec.kind == "devtest":
+        # device-side test pattern: frames are generated on chip inside
+        # the encode dispatch, so no raw pixels cross the host link
+        # (the TPU-native analog of the reference's test-pattern
+        # pipelines, reference: pipeline/jetson/h265_test_pattern).
+        # Dims round up to whole macroblocks — the generated pattern
+        # fills the padding, no crop needed.
+        from ceracoder_tpu.app.source import DeviceTestPatternSource
+        return DeviceTestPatternSource(
+            width=-(-spec.width // 16) * 16,
+            height=-(-spec.height // 16) * 16,
+            fps_num=spec.fps_num, fps_den=spec.fps_den)
     if spec.kind == "y4m":
         return Y4MFileSource(spec.path, loop=spec.loop)
     if spec.kind == "raw":

@@ -438,7 +438,9 @@ class CeracoderApp:
                     and hasattr(self.encoder, "encode_run_async")
                     and getattr(self.encoder, "bframes", 0) == 0)
         try:
-            if use_runs:
+            if use_runs and hasattr(self.source, "gen_fn"):
+                self._loop_pipelined_dev(pacer, run_len)
+            elif use_runs:
                 self._loop_pipelined(frame_iter, fixer, pacer, run_len)
             else:
                 self._loop_per_frame(frame_iter, fixer, pacer, pts)
@@ -593,6 +595,47 @@ class CeracoderApp:
             if len(batch) >= run_len:
                 dispatch()
         dispatch()
+        drain(pending)
+
+
+    def _loop_pipelined_dev(self, pacer, run_len: int):
+        """Fused run-dispatch over a DEVICE-SIDE source: frames are
+        generated on chip inside the encode dispatch (no host pixels
+        at all), run N's results mux/send while run N+1 computes.
+        Overlay burn-in and scene-cut detection need host pixels and
+        are skipped — this is the test-pattern/bench path (reference
+        analog: pipeline/jetson/h265_test_pattern)."""
+        pending = []            # (PendingFrame, pts90)
+        period90 = int(90000 * self.source.fps_den
+                       / self.source.fps_num)
+        total = self.max_frames
+        if total is None:
+            total = getattr(self.source, "num_frames", None)
+        i0 = 0
+        pts = 0
+
+        def drain(plist):
+            for pf, fpts in plist:
+                if self.state.quit:
+                    return
+                self._emit_frame(pf.result(), fpts, pacer)
+
+        while not self.state.quit:
+            if self.state.sighup:
+                self._reload_config()
+            n = run_len if total is None else min(run_len, total - i0)
+            if n <= 0:
+                break
+            pfs = self.encoder.encode_run_async(
+                source=self.source, indices=range(i0, i0 + n),
+                qp=self.rate.current_qp)
+            newp = [(pf, pts + k * period90)
+                    for k, pf in enumerate(pfs)]
+            pts += n * period90
+            self.frames_collected += n
+            i0 += n
+            drain(pending)       # overlap: host work vs device run
+            pending = newp
         drain(pending)
 
 

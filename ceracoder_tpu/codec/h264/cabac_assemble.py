@@ -17,6 +17,7 @@ used when the library is available.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 
 import numpy as np
@@ -54,6 +55,18 @@ def _hdr_bytes(cfg: SliceConfig) -> bytes:
     return w.to_bytes()
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _row_hdr(row: int, mbw: int, qp: int, pic_init_qp: int,
+             deblock: bool, intra: bool, frame_num: int,
+             idr_pic_id: int) -> bytes:
+    """Memoized per-row slice-header bytes: a frame re-uses one header
+    per MB row and the scalar inputs cycle over a small set (qp ladder
+    x frame_num mod 16), so building them through the Python bitwriter
+    every frame is pure overhead on the streaming path."""
+    return _hdr_bytes(_row_cfg(row, mbw, qp, pic_init_qp, deblock,
+                               intra, frame_num, idr_pic_id))
+
+
 def _slice_nal(hdr: bytes, payload: bytes, idr: bool,
                first: bool) -> bytes:
     return nal_unit(3 if idr else 2, NAL_IDR if idr else NAL_SLICE,
@@ -81,7 +94,9 @@ def _native_rows(intra: bool, qp: int, mbh: int, mbw: int,
             else None
 
     cap = max(1 << 16, mbh * mbw * 2048)
-    out = np.zeros(cap, np.uint8)
+    # empty, not zeros: the native coder overwrites what it uses and
+    # the caller slices by row size; zeroing 16 MB/frame costs real ms
+    out = np.empty(cap, np.uint8)
     sizes = np.zeros(mbh, np.int32)
     nthreads = min(mbh, os.cpu_count() or 1)
     if intra:
@@ -148,9 +163,8 @@ def assemble_i_snake(arrays: dict, qp: int, idr_pic_id: int, mbh: int,
     acs_all = arrays["ac_luma"]
     dc_chroma = arrays["dc_chroma"]
     ac_chroma = arrays["ac_chroma"]
-    hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
-                                True, 0, idr_pic_id))
-            for r in range(mbh)]
+    hdrs = [_row_hdr(r, mbw, qp, pic_init_qp, deblock, True, 0,
+                     idr_pic_id) for r in range(mbh)]
     rows = _native_rows(True, qp, mbh, mbw, hdrs, {
         "mode_l": mode_l, "mode_c": mode_c, "dc_luma": dc_luma,
         "ac_luma": acs_all,
@@ -206,30 +220,40 @@ def assemble_p_snake(arrays: dict, qp: int, frame_num: int, mbh: int,
     dc_chroma = arrays["dc_chroma"]
     ac_chroma = arrays["ac_chroma"]
 
-    # snake blocks 4q..4q+3 are the 4 blocks of 8x8 quadrant q
-    nzb = (blocks_all != 0).any(-1)                # (mbh, mbw, 16)
-    qbits = nzb.reshape(mbh, mbw, 4, 4).any(-1).astype(np.int64)
-    cbp_luma = (qbits << np.arange(4)).sum(-1)
-    any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
-    any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
-    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
-    cbp = cbp_luma | (cbp_chroma << 4)
+    # cbp == 0 iff the MB carries no nonzero level at all, so the
+    # per-MB nonzero count (already on the fused-run transfer) decides
+    # P_Skip without scanning the dense arrays; the native coder
+    # derives the actual cbp itself (h264_cabac.cc), so the full cbp
+    # is only computed for the Python fallback below.
+    if "nnz_mb" in arrays:
+        no_resid = arrays["nnz_mb"].reshape(mbh, mbw) == 0
+    else:
+        no_resid = ~np.logical_or.reduce([
+            (blocks_all != 0).reshape(mbh, mbw, -1).any(-1),
+            (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1),
+            (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)])
 
     # MV prediction under the slice-row schedule (left only); P_Skip
     # iff mv == (0, 0) (the skip predictor) and no residual
     pmv = np.zeros_like(mvg)
     pmv[:, 1:] = mvg[:, :-1]
     mvd = mvg - pmv
-    skip = (mvg[..., 0] == 0) & (mvg[..., 1] == 0) & (cbp == 0)
+    skip = (mvg[..., 0] == 0) & (mvg[..., 1] == 0) & no_resid
 
-    hdrs = [_hdr_bytes(_row_cfg(r, mbw, qp, pic_init_qp, deblock,
-                                False, frame_num, 0))
-            for r in range(mbh)]
+    hdrs = [_row_hdr(r, mbw, qp, pic_init_qp, deblock, False,
+                     frame_num, 0) for r in range(mbh)]
     rows = _native_rows(False, qp, mbh, mbw, hdrs, {
         "skip": skip, "mvd": mvd, "luma_lv": blocks_all,
         "dc_chroma": dc_chroma,
         "ac_chroma": ac_chroma})
     if rows is None:
+        # snake blocks 4q..4q+3 are the 4 blocks of 8x8 quadrant q
+        nzb = (blocks_all != 0).any(-1)            # (mbh, mbw, 16)
+        qbits = nzb.reshape(mbh, mbw, 4, 4).any(-1).astype(np.int64)
+        cbp_luma = (qbits << np.arange(4)).sum(-1)
+        any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+        any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
+        cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
         rows = []
         for row in range(mbh):
             cab = H264RowCabac(qp, intra_slice=False)

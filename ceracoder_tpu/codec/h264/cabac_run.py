@@ -246,6 +246,7 @@ def unpack_syntax(row: np.ndarray, get_chunk, f: int, mbh: int,
         mv = row[lay["mv"]:lay["mv"] + 4 * n_mb].view(np.int16)
         arrays = {
             "mv": mv.reshape(mbh, mbw, 2).astype(np.int64),
+            "nnz_mb": counts.reshape(mbh, mbw),
             "luma_lv": dense[:, :256].reshape(mbh, mbw, 16, 16),
             "dc_chroma": dense[:, 256:264].reshape(mbh, mbw, 2, 4),
             "ac_chroma": dense[:, 264:].reshape(mbh, mbw, 2, 4, 15),
