@@ -117,9 +117,17 @@ def _native_rows(intra: bool, qp: int, mbh: int, mbw: int,
         luma_lv = c16(arrays["luma_lv"])
         dc_chroma = c16(arrays["dc_chroma"])
         ac_chroma = c16(arrays["ac_chroma"])
+        # intra-in-P (kind 2 in `skip`): per-MB modes + [dc|ac] views
+        mode_l = mode_c = dc_luma = ac_luma = None
+        if arrays.get("mode_l") is not None:
+            mode_l = np.ascontiguousarray(arrays["mode_l"], np.int32)
+            mode_c = np.ascontiguousarray(arrays["mode_c"], np.int32)
+            dc_luma = c16(arrays["dc_luma"])
+            ac_luma = c16(arrays["ac_luma"])
         n = lib.h264_cabac_rows(
             mbh, mbw, 0, 0, qp, p(hb), p(hs), stride,
-            None, None, None, None, p(skip), p(mvd), p(luma_lv),
+            p(mode_l), p(mode_c), p(dc_luma), p(ac_luma),
+            p(skip), p(mvd), p(luma_lv),
             p(dc_chroma), p(ac_chroma), p(out), cap, p(sizes),
             nthreads)
     if n < 0:
@@ -197,13 +205,32 @@ def assemble_p_cabac(outs: dict, qp: int, frame_num: int, mbh: int,
                      snake: np.ndarray) -> bytes:
     ll = np.asarray(outs["luma_levels"]).reshape(mbh, mbw, 4, 4, 16)
     sr, sc = snake[:, 0], snake[:, 1]
+    luma_lv = ll[:, :, sr, sc]                     # (mbh, mbw, 16, 16)
     arrays = {
         "mv": np.asarray(outs["mv"]).astype(np.int64),
-        "luma_lv": ll[:, :, sr, sc],               # (mbh, mbw, 16, 16)
+        "luma_lv": luma_lv,
         "dc_chroma": np.asarray(outs["dc_chroma"]),
         "ac_chroma": np.asarray(outs["ac_chroma"])
         .reshape(mbh, mbw, 2, 4, 15),
     }
+    if "is_intra" in outs:
+        m = np.asarray(outs["is_intra"]).astype(bool)
+        if m.any():
+            # intra MBs carry [dc 16 | ac snake 240] in the luma slots
+            ac = np.asarray(outs["ac_luma"]).reshape(mbh, mbw, 4, 4,
+                                                     15)
+            intra256 = np.concatenate(
+                [np.asarray(outs["dc_luma"]).reshape(mbh, mbw, 16),
+                 ac[:, :, sr, sc].reshape(mbh, mbw, 240)], axis=-1)
+            luma256 = np.ascontiguousarray(luma_lv) \
+                .reshape(mbh, mbw, 256).copy()
+            luma256[m] = intra256[m]
+            arrays["luma_lv"] = luma256.reshape(mbh, mbw, 16, 16)
+        arrays["is_intra"] = m
+        arrays["mode_l"] = np.asarray(outs["mode_luma"]) \
+            .astype(np.int32)
+        arrays["mode_c"] = np.asarray(outs["mode_chroma"]) \
+            .astype(np.int32)
     return assemble_p_snake(arrays, qp, frame_num, mbh, mbw,
                             pic_init_qp, deblock)
 
@@ -219,6 +246,10 @@ def assemble_p_snake(arrays: dict, qp: int, frame_num: int, mbh: int,
     blocks_all = arrays["luma_lv"]                 # snake order
     dc_chroma = arrays["dc_chroma"]
     ac_chroma = arrays["ac_chroma"]
+    is_intra = arrays.get("is_intra")
+    if is_intra is None:
+        is_intra = np.zeros((mbh, mbw), bool)
+    has_intra = bool(is_intra.any())
 
     # cbp == 0 iff the MB carries no nonzero level at all, so the
     # per-MB nonzero count (already on the fused-run transfer) decides
@@ -233,19 +264,34 @@ def assemble_p_snake(arrays: dict, qp: int, frame_num: int, mbh: int,
             (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1),
             (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)])
 
-    # MV prediction under the slice-row schedule (left only); P_Skip
-    # iff mv == (0, 0) (the skip predictor) and no residual
+    # MV prediction under the slice-row schedule (left only; an intra
+    # left MB is unavailable for prediction, spec 8.4.1.3); P_Skip iff
+    # inter, mv == (0, 0) (the skip predictor) and no residual
     pmv = np.zeros_like(mvg)
     pmv[:, 1:] = mvg[:, :-1]
+    if has_intra:
+        pmv[:, 1:] *= ~is_intra[:, :-1, None]
     mvd = mvg - pmv
-    skip = (mvg[..., 0] == 0) & (mvg[..., 1] == 0) & no_resid
+    skip = ((mvg[..., 0] == 0) & (mvg[..., 1] == 0) & no_resid
+            & ~is_intra)
+
+    native_arrays = {
+        "skip": skip.astype(np.uint8) + 2 * is_intra,   # 0/1/2 kinds
+        "mvd": mvd, "luma_lv": blocks_all,
+        "dc_chroma": dc_chroma,
+        "ac_chroma": ac_chroma}
+    if has_intra:
+        # intra MBs store [dc 16 | ac snake 240] in the 256 luma slots
+        luma256 = np.ascontiguousarray(blocks_all) \
+            .reshape(mbh, mbw, 256)
+        native_arrays.update(
+            mode_l=arrays["mode_l"], mode_c=arrays["mode_c"],
+            dc_luma=luma256[:, :, :16],
+            ac_luma=luma256[:, :, 16:].reshape(mbh, mbw, 16, 15))
 
     hdrs = [_row_hdr(r, mbw, qp, pic_init_qp, deblock, False,
                      frame_num, 0) for r in range(mbh)]
-    rows = _native_rows(False, qp, mbh, mbw, hdrs, {
-        "skip": skip, "mvd": mvd, "luma_lv": blocks_all,
-        "dc_chroma": dc_chroma,
-        "ac_chroma": ac_chroma})
+    rows = _native_rows(False, qp, mbh, mbw, hdrs, native_arrays)
     if rows is None:
         # snake blocks 4q..4q+3 are the 4 blocks of 8x8 quadrant q
         nzb = (blocks_all != 0).any(-1)            # (mbh, mbw, 16)
@@ -254,11 +300,24 @@ def assemble_p_snake(arrays: dict, qp: int, frame_num: int, mbh: int,
         any_cac = (ac_chroma != 0).reshape(mbh, mbw, -1).any(-1)
         any_cdc = (dc_chroma != 0).reshape(mbh, mbw, -1).any(-1)
         cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+        luma256f = np.ascontiguousarray(blocks_all) \
+            .reshape(mbh, mbw, 256)
         rows = []
         for row in range(mbh):
             cab = H264RowCabac(qp, intra_slice=False)
             for col in range(mbw):
-                if skip[row, col]:
+                if is_intra[row, col]:
+                    dc = luma256f[row, col, :16]
+                    acs = luma256f[row, col, 16:].reshape(16, 15)
+                    cdc = dc_chroma[row, col]
+                    cacs = ac_chroma[row, col].reshape(2, 4, 15)
+                    cbp_l = 15 if (acs != 0).any() else 0
+                    cbp_c = (2 if (cacs != 0).any()
+                             else (1 if (cdc != 0).any() else 0))
+                    cab.mb_i16(int(arrays["mode_l"][row, col]),
+                               int(arrays["mode_c"][row, col]),
+                               0, cbp_l, cbp_c, dc, acs, cdc, cacs)
+                elif skip[row, col]:
                     cab.mb_skip()
                 else:
                     cab.mb_p16(

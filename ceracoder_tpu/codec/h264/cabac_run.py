@@ -53,9 +53,11 @@ def pack_layout(n_mb: int, intra: bool, chunk: int = CHUNK) -> dict:
 
     off = {"nnz": 0}
     o = 4
-    if intra:
-        off["meta"] = o           # uint8: mode_l | mode_c << 2
-        o += pad4(n_mb)
+    # uint8 per MB. IDR frame: mode_l | mode_c << 2. P frame: bit0
+    # is_intra (Intra_16x16 fallback MB), then mode_l << 1 | mode_c
+    # << 3 for intra MBs.
+    off["meta"] = o
+    o += pad4(n_mb)
     off["counts"] = o             # uint16 per-MB nonzero level count
     o += pad4(2 * n_mb)
     if not intra:
@@ -86,8 +88,19 @@ def _flat384_p(outs, mbh: int, mbw: int):
     n = mbh * mbw
     ll = outs["luma_levels"].astype(jnp.int16)      # (mbh,mbw,4,4,16)
     ll_snake = snake_select(ll, LUMA_SNAKE)         # (mbh,mbw,16,16)
+    luma256 = ll_snake.reshape(n, 256)
+    if "is_intra" in outs:
+        # intra-in-P MBs store [dc 16 | ac snake 240] in the same 256
+        # luma slots (their inter levels are zeroed by the op)
+        ac = outs["ac_luma"].astype(jnp.int16)      # (mbh,mbw,4,4,15)
+        ac_snake = snake_select(ac, LUMA_SNAKE)     # (mbh,mbw,16,15)
+        intra256 = jnp.concatenate([
+            outs["dc_luma"].reshape(n, 16).astype(jnp.int16),
+            ac_snake.reshape(n, 240)], axis=1)
+        m = outs["is_intra"].reshape(n, 1)
+        luma256 = jnp.where(m, intra256, luma256)
     return jnp.concatenate([
-        ll_snake.reshape(n, 256),
+        luma256,
         outs["dc_chroma"].reshape(n, 8).astype(jnp.int16),
         outs["ac_chroma"].reshape(n, 120).astype(jnp.int16)], axis=1)
 
@@ -151,10 +164,11 @@ def encode_idr_syntax(y, u, v, qp, qp_c, cap: int, chunk: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "chunk", "deblock",
-                                             "source_fn"))
+                                             "source_fn",
+                                             "intra_in_p"))
 def encode_run_syntax_p(ys, us, vs, qps, qp_cs, ref_y, ref_u, ref_v,
                         frame_idx, cap: int, chunk: int, deblock: bool,
-                        source_fn=None):
+                        source_fn=None, intra_in_p: bool = False):
     """Encode F consecutive P frames in ONE device dispatch.
 
     A lax.scan carries the deblocked reference; per frame the syntax
@@ -168,26 +182,36 @@ def encode_run_syntax_p(ys, us, vs, qps, qp_cs, ref_y, ref_u, ref_v,
         y, u, v, qp, qp_c, fi = xs
         if source_fn is not None:
             y, u, v = source_fn(fi)
-        outs = encode_frame_p(y, u, v, *ref, qp, qp_c)
+        outs = encode_frame_p(y, u, v, *ref, qp, qp_c,
+                              intra_in_p=intra_in_p)
         recon = outs["recon"]
+        mbh, mbw = outs["mv"].shape[:2]
         if deblock:
             nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
-            recon = deblock_frame_rows(*recon, nnz44, outs["mv"], qp,
-                                       qp_c, intra_frame=False)
-        mbh, mbw = outs["mv"].shape[:2]
+            recon = deblock_frame_rows(
+                *recon, nnz44, outs["mv"], qp, qp_c,
+                intra_frame=False,
+                intra_mb=outs.get("is_intra"))
         flat = _flat384_p(outs, mbh, mbw)
         pos, val, nnz = compact_slots(flat, cap)
         counts = (flat != 0).sum(1).astype(jnp.uint16)
+        if intra_in_p:
+            meta = (outs["is_intra"].astype(jnp.uint8)
+                    | (outs["mode_luma"].astype(jnp.uint8) << 1)
+                    | (outs["mode_chroma"].astype(jnp.uint8) << 3))
+        else:
+            meta = jnp.zeros((mbh, mbw), jnp.uint8)
         out = dict(mv=outs["mv"].astype(jnp.int16), pos=pos, val=val,
-                   counts=counts, nnz=nnz, recon=recon)
+                   counts=counts, nnz=nnz, recon=recon,
+                   meta=meta.reshape(-1))
         return recon, out
 
     _, outs = jax.lax.scan(
         step, (ref_y, ref_u, ref_v),
         (ys, us, vs, qps, qp_cs, frame_idx))
-    packed, chunks = _pack_rows(None, outs["counts"], outs["mv"],
-                                outs["pos"], outs["val"], outs["nnz"],
-                                chunk)
+    packed, chunks = _pack_rows(outs["meta"], outs["counts"],
+                                outs["mv"], outs["pos"], outs["val"],
+                                outs["nnz"], chunk)
     return packed, chunks, outs["recon"]
 
 
@@ -244,9 +268,15 @@ def unpack_syntax(row: np.ndarray, get_chunk, f: int, mbh: int,
         }
     else:
         mv = row[lay["mv"]:lay["mv"] + 4 * n_mb].view(np.int16)
+        meta = row[lay["meta"]:lay["meta"] + n_mb]
         arrays = {
             "mv": mv.reshape(mbh, mbw, 2).astype(np.int64),
             "nnz_mb": counts.reshape(mbh, mbw),
+            "is_intra": (meta & 1).astype(bool).reshape(mbh, mbw),
+            "mode_l": ((meta >> 1) & 3).astype(np.int32)
+            .reshape(mbh, mbw),
+            "mode_c": ((meta >> 3) & 3).astype(np.int32)
+            .reshape(mbh, mbw),
             "luma_lv": dense[:, :256].reshape(mbh, mbw, 16, 16),
             "dc_chroma": dense[:, 256:264].reshape(mbh, mbw, 2, 4),
             "ac_chroma": dense[:, 264:].reshape(mbh, mbw, 2, 4, 15),

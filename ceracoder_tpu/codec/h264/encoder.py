@@ -150,7 +150,8 @@ class H264Encoder:
                  deblock: bool = True, device_entropy: bool = True,
                  row_capacity_bytes: int | None = None,
                  frame_capacity_bytes: int | None = None,
-                 cabac: bool = True):
+                 cabac: bool = True,
+                 intra_in_p: bool | None = None):
         if width % 16 or height % 16:
             raise ValueError("dimensions must be multiples of 16 "
                              "(use padding + SPS cropping upstream)")
@@ -169,6 +170,12 @@ class H264Encoder:
         self.cabac = cabac
         self.cabac_fused = cabac and device_entropy
         self.device_entropy = device_entropy and not cabac
+        # Intra_16x16 fallback MBs in P slices (uncovered content /
+        # partial scene change; reference: x264 always considers intra
+        # in P). Default on for the CABAC entropy paths; the CAVLC
+        # device bit-packer stays all-inter.
+        self.intra_in_p = cabac if intra_in_p is None \
+            else (intra_in_p and cabac)
         # per-row packed capacity in 32-bit words; overflow falls back to
         # the host entropy path for that frame (detected exactly)
         cap = row_capacity_bytes or max(2048, self.mbw * 192)
@@ -567,7 +574,8 @@ class H264Encoder:
             packed, chunks, recons = cabac_run.encode_run_syntax_p(
                 ys, us, vs, jnp.asarray(qp_a), jnp.asarray(qpc_a),
                 *prev_ref, jnp.asarray(fidx), cap=cap, chunk=chunk,
-                deblock=self.deblock, source_fn=source_fn)
+                deblock=self.deblock, source_fn=source_fn,
+                intra_in_p=self.intra_in_p)
             self._ref = tuple(r[-1] for r in recons)
             recon = None
 
@@ -708,12 +716,14 @@ class H264Encoder:
             else:
                 data = self._assemble(outs_np, qp, idr_pic_id)
         else:
-            outs = encode_frame_p(yj, uj, vj, *prev_ref, qp, qp_c)
+            outs = encode_frame_p(yj, uj, vj, *prev_ref, qp, qp_c,
+                                  intra_in_p=self.intra_in_p)
             recon = outs["recon"]
             if self.deblock:
                 nnz44 = (outs["luma_levels"] != 0).any(-1).astype(jnp.int32)
                 recon = deblock_frame_rows(*recon, nnz44, outs["mv"],
-                                           qp, qp_c, intra_frame=False)
+                                           qp, qp_c, intra_frame=False,
+                                           intra_mb=outs.get("is_intra"))
             outs_np = {k: np.asarray(o) for k, o in outs.items()
                        if not isinstance(o, tuple)}
             if self.cabac:

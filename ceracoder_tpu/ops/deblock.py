@@ -158,11 +158,14 @@ def _deblock_mb_chroma(mb, left2, bs_v, bs_h, alpha, beta, tc0_row):
     return cols[:, 1:2], cols[:, 2:]
 
 
-def compute_bs(nnz44, mv_q, intra_frame: bool):
+def compute_bs(nnz44, mv_q, intra_frame: bool, intra_mb=None):
     """Boundary strengths (spec 8.7.2.1) for the slice-row schedule.
 
     nnz44: (mbh, mbw, 4, 4) nonzero-coefficient flags per luma 4x4.
     mv_q: (mbh, mbw, 2) quarter-pel MVs (ignored for intra frames).
+    intra_mb: optional (mbh, mbw) bool — Intra_16x16 MBs inside a P
+    frame (intra-in-P): their MB-boundary edges get bS 4 and internal
+    edges bS 3 regardless of the inter-side rules.
     Returns (bs_v (mbh, mbw, 4, 4), bs_h (mbh, mbw, 3, 4)).
     """
     mbh, mbw = nnz44.shape[:2]
@@ -184,23 +187,37 @@ def compute_bs(nnz44, mv_q, intra_frame: bool):
     mvdiff = (jnp.abs(mv_q - mv_left) >= 4).any(-1)
     pair0 = nz_left[:, :, :, 3] | nz[:, :, :, 0]
     bs0 = jnp.where(pair0 > 0, 2, jnp.where(mvdiff[..., None], 1, 0))
-    bs0 = bs0.at[:, 0, :].set(0)              # picture boundary
     bs_v = bs_v.at[:, :, 0, :].set(bs0)
 
     bs_h = jnp.zeros((mbh, mbw, 3, 4), jnp.int32)
     for e in range(1, 4):
         pair = nz[:, :, e - 1, :] | nz[:, :, e, :]
         bs_h = bs_h.at[:, :, e - 1, :].set(2 * pair)
+
+    if intra_mb is not None:
+        ii = intra_mb.astype(bool)
+        il = jnp.roll(ii, 1, axis=1).at[:, 0].set(False)
+        # MB-boundary vertical edge: either side intra -> 4
+        bs_v = bs_v.at[:, :, 0, :].set(
+            jnp.where((ii | il)[..., None], 4, bs_v[:, :, 0, :]))
+        # internal edges of an intra MB -> at least 3
+        bs_v = bs_v.at[:, :, 1:, :].set(
+            jnp.where(ii[..., None, None], 3, bs_v[:, :, 1:, :]))
+        bs_h = jnp.where(ii[..., None, None], 3, bs_h)
+    # picture-left boundary is never filtered
+    bs_v = bs_v.at[:, 0, 0, :].set(0)
     return bs_v, bs_h
 
 
 @functools.partial(jax.jit, static_argnames=("intra_frame",))
 def deblock_frame_rows(y, u, v, nnz44, mv_q, qp, qp_c,
-                       intra_frame: bool):
+                       intra_frame: bool, intra_mb=None):
     """Deblock a reconstructed frame under the slice-row schedule.
 
     qp / qp_c may be traced scalars — the filter-strength tables are
-    indexed on device so adaptive rate control never recompiles."""
+    indexed on device so adaptive rate control never recompiles.
+    intra_mb: optional (mbh, mbw) bool mask of Intra_16x16 MBs in a P
+    frame (see compute_bs)."""
     h, w = y.shape
     mbh, mbw = h // 16, w // 16
     qp = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)
@@ -212,7 +229,7 @@ def deblock_frame_rows(y, u, v, nnz44, mv_q, qp, qp_c,
     beta_c = jnp.asarray(BETA)[qp_c]
     tc0_row_c = jnp.asarray(TC0)[qp_c]
 
-    bs_v, bs_h = compute_bs(nnz44, mv_q, intra_frame)
+    bs_v, bs_h = compute_bs(nnz44, mv_q, intra_frame, intra_mb)
 
     ymb = y.astype(jnp.int32).reshape(mbh, 16, mbw, 16).swapaxes(1, 2)
     umb = u.astype(jnp.int32).reshape(mbh, 8, mbw, 8).swapaxes(1, 2)

@@ -10,12 +10,22 @@ v1 design choices, each spec-conformant:
   fractional MVs, so integer-MV streams skip the 6-tap filter; chroma
   still needs its bilinear (mv/2 can be half-pel) which is implemented
   exactly per spec 8.4.2.2.2.
-- All MBs in a P slice are inter — no intra-in-P yet — which removes
-  every intra neighbor dependency: the whole frame encodes in parallel
-  (no scan), the TPU-friendly property motivating this scheme.
+- The base schedule keeps every MB inter, which removes every intra
+  neighbor dependency: the whole frame encodes in parallel (no scan),
+  the TPU-friendly property motivating this scheme.
+- `intra_in_p=True` adds Intra_16x16 fallback MBs (uncovered content /
+  partial scene change — the cheap big RD lever toward x264, whose
+  default always considers intra in P): a source-pixel cost estimate
+  picks the intra MBs up front (branch-free), then a column scan —
+  entered only when the frame has any (lax.cond) — recodes them
+  against the true decoded left columns, exactly the structure the
+  HEVC P core uses for its intra-fallback CUs (ops/h265.py
+  _inter_frame_tail).
 """
 
 from __future__ import annotations
+
+import functools
 
 from ceracoder_tpu.utils.jaxenv import setup_jax
 
@@ -503,13 +513,8 @@ def _mc_chroma_dense(ref_c32, cmv, mv_q):
             + (8 - xf) * yf * c + xf * yf * d + 32) >> 6
 
 
-@jax.jit
-def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
-    """Encode a P frame (all P_L0_16x16, half-pel MVs, prev-frame ref).
-
-    Returns per-MB arrays: mv (mbh,mbw,2), luma levels (mbh,mbw,4,4,16)
-    (full 16-coeff blocks, zigzag), chroma DC/AC, recon planes.
-    """
+def _encode_frame_p_inter(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
+    """All-inter P frame core (see encode_frame_p)."""
     h, w = y.shape
     mbh, mbw = h // 16, w // 16
 
@@ -556,3 +561,153 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int):
                unmb(rec_u, 8).astype(jnp.uint8),
                unmb(rec_v, 8).astype(jnp.uint8)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra_16x16 fallback MBs in P frames (intra-in-P)
+# ---------------------------------------------------------------------------
+
+def _intra_fallback(y, u, v, outs, qp, qp_c):
+    """Add Intra_16x16 fallback MBs to an all-inter P frame.
+
+    Decision (branch-free, source pixels): an MB goes intra when the
+    best left-only intra predictor beats the chosen inter prediction's
+    SAD by >= 1/8 (the margin stands in for the intra mode's larger
+    header cost). Coding: a column scan — entered only when the frame
+    has any intra MB — recodes the chosen MBs with ops.intra._encode_mb
+    against the true decoded left columns; the carry hands forward the
+    SELECTED reconstruction (intra where chosen, the parallel inter
+    recon elsewhere), which is exactly the decoder's neighbor state.
+    """
+    from ceracoder_tpu.ops.intra import _encode_mb
+
+    h, w = y.shape
+    mbh, mbw = h // 16, w // 16
+    y32 = y.astype(jnp.int32)
+    cur = _mb_view(y32)                              # (mbh,mbw,16,16)
+
+    # source-pixel intra estimate: left-neighbor H and DC predictors
+    redge = y32[:, 15::16]                           # (h, mbw) right edges
+    lcols = jnp.concatenate(
+        [jnp.full((h, 1), 128, jnp.int32), redge[:, :-1]], axis=1)
+    lmb = lcols.reshape(mbh, 16, mbw).swapaxes(1, 2)  # (mbh,mbw,16)
+    sad_h = jnp.abs(cur - lmb[..., :, None]).sum((-1, -2))
+    dc = (lmb.sum(-1) + 8) >> 4
+    sad_dc = jnp.abs(cur - dc[..., None, None]).sum((-1, -2))
+    est = jnp.minimum(sad_h, sad_dc)
+    is_intra = 8 * est < 7 * outs["sad"]
+    any_intra = is_intra.any()
+
+    ymb = cur.astype(jnp.uint8)
+    umb = _mb_view(u, 8)
+    vmb = _mb_view(v, 8)
+    ry_mb = _mb_view(outs["recon"][0])
+    ru_mb = _mb_view(outs["recon"][1], 8)
+    rv_mb = _mb_view(outs["recon"][2], 8)
+
+    def do_intra(_):
+        mb_fn = jax.vmap(_encode_mb,
+                         in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+        def one_col(carry, xs):
+            ly, lu, lv = carry
+            ymb_c, umb_c, vmb_c, iry, iru, irv, m = xs
+            out, (nly, nlu, nlv) = mb_fn(ymb_c, umb_c, vmb_c,
+                                         ly, lu, lv, qp, qp_c)
+            m1 = m[:, None]
+            nly = jnp.where(m1, nly, iry.astype(nly.dtype))
+            nlu = jnp.where(m1, nlu, iru.astype(nlu.dtype))
+            nlv = jnp.where(m1, nlv, irv.astype(nlv.dtype))
+            return (nly, nlu, nlv), out
+
+        unroll = next(uu for uu in (8, 6, 5, 4, 3, 2, 1)
+                      if mbw % uu == 0)
+
+        def step(carry, xs):
+            outs_u = []
+            for k in range(unroll):
+                carry, o = one_col(
+                    carry,
+                    jax.tree_util.tree_map(lambda a: a[k], xs))
+                outs_u.append(o)
+            return carry, jax.tree_util.tree_map(
+                lambda *ts: jnp.stack(ts), *outs_u)
+
+        init = (jnp.full((mbh, 16), 128, jnp.uint8),
+                jnp.full((mbh, 8), 128, jnp.uint8),
+                jnp.full((mbh, 8), 128, jnp.uint8))
+        xs = (ymb.swapaxes(0, 1), umb.swapaxes(0, 1),
+              vmb.swapaxes(0, 1),
+              ry_mb[..., :, 15].swapaxes(0, 1),
+              ru_mb[..., :, 7].swapaxes(0, 1),
+              rv_mb[..., :, 7].swapaxes(0, 1),
+              is_intra.swapaxes(0, 1))
+        xs = jax.tree_util.tree_map(
+            lambda a: a.reshape(mbw // unroll, unroll, *a.shape[1:]),
+            xs)
+        _, iouts = jax.lax.scan(step, init, xs)
+        # (mbw/U, U, mbh, ...) -> (mbh, mbw, ...)
+        return {k: jnp.swapaxes(o.reshape(mbw, *o.shape[2:]), 0, 1)
+                for k, o in iouts.items()}
+
+    def no_intra(_):
+        return dict(
+            dc_luma=jnp.zeros((mbh, mbw, 16), jnp.int16),
+            ac_luma=jnp.zeros((mbh, mbw, 4, 4, 15), jnp.int16),
+            mode_luma=jnp.zeros((mbh, mbw), jnp.uint8),
+            dc_chroma=jnp.zeros((mbh, mbw, 2, 4), jnp.int16),
+            ac_chroma=jnp.zeros((mbh, mbw, 2, 2, 2, 15), jnp.int16),
+            mode_chroma=jnp.zeros((mbh, mbw), jnp.uint8),
+            recon_y=jnp.zeros((mbh, mbw, 16, 16), jnp.uint8),
+            recon_u=jnp.zeros((mbh, mbw, 8, 8), jnp.uint8),
+            recon_v=jnp.zeros((mbh, mbw, 8, 8), jnp.uint8),
+        )
+
+    iouts = jax.lax.cond(any_intra, do_intra, no_intra, None)
+
+    m = is_intra
+    m2 = m[..., None, None]
+
+    def unmb(x, mb):
+        return x.swapaxes(1, 2).reshape(mbh * mb, mbw * mb)
+
+    rec_y = unmb(jnp.where(m2, iouts["recon_y"], ry_mb), 16)
+    rec_u = unmb(jnp.where(m2, iouts["recon_u"], ru_mb), 8)
+    rec_v = unmb(jnp.where(m2, iouts["recon_v"], rv_mb), 8)
+
+    keep = (~m).astype(jnp.int16)
+    outs = dict(outs)
+    outs["recon"] = (rec_y, rec_u, rec_v)
+    outs["mv"] = outs["mv"] * (~m)[..., None]
+    outs["luma_levels"] = outs["luma_levels"] * keep[..., None, None,
+                                                    None]
+    outs["dc_chroma"] = jnp.where(m[..., None, None],
+                                  iouts["dc_chroma"],
+                                  outs["dc_chroma"])
+    outs["ac_chroma"] = jnp.where(m[..., None, None, None, None],
+                                  iouts["ac_chroma"],
+                                  outs["ac_chroma"])
+    outs["is_intra"] = m
+    outs["mode_luma"] = iouts["mode_luma"] * m
+    outs["mode_chroma"] = iouts["mode_chroma"] * m
+    outs["dc_luma"] = iouts["dc_luma"] * m[..., None]
+    outs["ac_luma"] = iouts["ac_luma"] * m[..., None, None, None]
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("intra_in_p",))
+def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp: int, qp_c: int,
+                   intra_in_p: bool = False):
+    """Encode a P frame (P_L0_16x16 + optional Intra_16x16 fallback,
+    quarter-pel MVs, prev-frame ref).
+
+    Returns per-MB arrays: mv (mbh,mbw,2), luma levels (mbh,mbw,4,4,16)
+    (full 16-coeff blocks, zigzag), chroma DC/AC, recon planes; with
+    intra_in_p also is_intra/mode_luma/mode_chroma/dc_luma/ac_luma
+    (zeroed at inter MBs).
+    """
+    outs = _encode_frame_p_inter(y, u, v, ref_y, ref_u, ref_v, qp,
+                                 qp_c)
+    if not intra_in_p:
+        return outs
+    return _intra_fallback(y, u, v, outs, qp, qp_c)

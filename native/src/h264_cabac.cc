@@ -475,8 +475,11 @@ extern "C" {
 // hdr_stride) whole-byte slice headers (cabac alignment included).
 // When intra != 0: mode_l/mode_c (mbh*mbw), dc_luma (..,16) scan
 // order, ac_luma (..,16,15) snake, dc_chroma (..,2,4), ac_chroma
-// (..,2,4,15). When intra == 0: skip (mbh*mbw u8), mvd (..,2 int32
-// dy,dx), luma_lv (..,16,16) snake, dc_chroma/ac_chroma as above.
+// (..,2,4,15). When intra == 0: skip (mbh*mbw u8) is the per-MB KIND
+// (0 = coded inter, 1 = P_Skip, 2 = Intra_16x16 fallback), mvd (..,2
+// int32 dy,dx), luma_lv (..,16,16) snake, dc_chroma/ac_chroma as
+// above; kind-2 MBs additionally read mode_l/mode_c/dc_luma/ac_luma
+// (non-NULL only when the frame has intra MBs).
 // Outputs all row slices (header + payload) concatenated into `out`
 // with per-row byte sizes in row_sizes. Returns total bytes, or -1 on
 // insufficient capacity.
@@ -517,6 +520,23 @@ int64_t h264_cabac_rows(int mbh, int mbw, int intra, int init_idc,
           int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
           rc.mb_i16(mode_l[mb], mode_c[mb], 0, cbp_luma, cbp_chroma,
                     dc_luma + mb * 16, acs, cdc, cacs);
+        } else if (skip[mb] == 2) {
+          // Intra_16x16 fallback MB in a P slice
+          const int16_t* dcp = dc_luma + mb * 16;
+          const int16_t* acs = ac_luma + mb * 16 * 15;
+          int cbp_luma = 0;
+          for (int k = 0; k < 16 * 15 && !cbp_luma; ++k)
+            if (acs[k]) cbp_luma = 15;
+          const int16_t* cdc = dc_chroma + mb * 2 * 4;
+          const int16_t* cacs = ac_chroma + mb * 2 * 4 * 15;
+          int any_cac = 0, any_cdc = 0;
+          for (int k = 0; k < 2 * 4 * 15 && !any_cac; ++k)
+            if (cacs[k]) any_cac = 1;
+          for (int k = 0; k < 8 && !any_cdc; ++k)
+            if (cdc[k]) any_cdc = 1;
+          int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
+          rc.mb_i16(mode_l[mb], mode_c[mb], 0, cbp_luma, cbp_chroma,
+                    dcp, acs, cdc, cacs);
         } else if (skip[mb]) {
           rc.mb_skip();
         } else {

@@ -101,8 +101,10 @@ def test_pack_unpack_roundtrip():
     from ceracoder_tpu.ops.h265 import compact_slots
     pos, val, nnz = compact_slots(jnp.asarray(flat), 2 * cabac_run.CHUNK)
     counts = (flat != 0).sum(1).astype(np.uint16)
+    meta = np.zeros(n, np.uint8)
     packed, chunks = cabac_run._pack_rows(
-        None, jnp.asarray(counts)[None], jnp.asarray(mv)[None],
+        jnp.asarray(meta)[None], jnp.asarray(counts)[None],
+        jnp.asarray(mv)[None],
         pos[None], val[None], nnz[None][None], cabac_run.CHUNK)
     row = np.asarray(packed)[0]
     got_nnz, arrays = cabac_run.unpack_syntax(
@@ -137,4 +139,59 @@ def test_decodes_with_oracle(tmp_path):
     assert len(dec) == len(frames)
     for df, ef in zip(dec, encoded):
         for dp, rp in zip(df, ef.recon):
+            np.testing.assert_array_equal(dp, np.asarray(rp))
+
+
+def _uncover_frames(w, h, n, seed=8):
+    """Content change mid-clip: bottom half switches to smooth new
+    content, so inter prediction fails there while left-only intra
+    predicts well — exercises the Intra_16x16 fallback in P slices."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, (h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        y = base * 0.5 + 40 + i * 2
+        if i >= 2:
+            y[h // 2:] = 180 + xx[h // 2:] * 0.1 + yy[h // 2:] * 0.05
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        u = rng.integers(80, 170, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(80, 170, (h // 2, w // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_intra_in_p_fused_matches_host_and_decodes(tmp_path):
+    """Intra-in-P: the device op picks intra MBs on uncovered content,
+    the fused run matches the dense host path byte for byte, and the
+    stream decodes bit-exact on the oracle (reference capability:
+    x264's always-on intra-in-P consideration,
+    bindings/typescript/src/pipeline/generic-builder.ts:49-55)."""
+    import jax.numpy as jnp
+
+    from ceracoder_tpu.ops.inter import encode_frame_p
+    from tests.test_h264_conformance import ORACLE, oracle_decode
+
+    w, h = 128, 96
+    frames = _uncover_frames(w, h, 6)
+
+    o = encode_frame_p(
+        *(jnp.asarray(p) for p in frames[2]),
+        *(jnp.asarray(p) for p in frames[1]), 28, 28,
+        intra_in_p=True)
+    assert int(np.asarray(o["is_intra"]).sum()) > 0
+
+    ref = _host_bytes(frames, w, h, qp=28, gop=6)
+    enc = H264Encoder(w, h, qp=28, gop=6, cabac=True)
+    assert enc.intra_in_p
+    got = [p.result() for p in enc.encode_run_async(frames=frames)]
+    assert [g.data for g in got] == ref
+
+    if not ORACLE.exists():
+        pytest.skip("decode_oracle unavailable")
+    data = enc.headers() + b"".join(g.data for g in got)
+    dec = oracle_decode(str(ORACLE), data, w, h, tmp_path)
+    assert len(dec) == len(frames)
+    for df, g in zip(dec, got):
+        for dp, rp in zip(df, g.recon):
             np.testing.assert_array_equal(dp, np.asarray(rp))
