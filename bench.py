@@ -182,9 +182,12 @@ def main():
     if codec == "hevc":
         from ceracoder_tpu.codec.h265.device import H265DeviceEncoder
 
+        sao = os.environ.get("CERACODER_BENCH_SAO") == "1"
+
         def make():
-            return H265DeviceEncoder(w, h, qp=30, gop=GOP)
-        metric = f"{label}_hevc_stream_pipeline"
+            return H265DeviceEncoder(w, h, qp=30, gop=GOP, sao=sao)
+        metric = f"{label}_hevc_stream_pipeline" + ("_sao" if sao
+                                                   else "")
     else:
         from ceracoder_tpu.codec.h264.encoder import H264Encoder
 

@@ -64,7 +64,12 @@ def ours_h264(frames, w, h, qp, gop, intra_in_p=None):
     from ceracoder_tpu.control.lookahead import CutDetector
     if intra_in_p is None:
         intra_in_p = os.environ.get("CERACODER_RD_NO_IIP") != "1"
-    enc = H264Encoder(w, h, qp=qp, gop=gop, intra_in_p=intra_in_p)
+    from ceracoder_tpu.app.source import pad_to_mb
+    wp, hp = -(-w // 16) * 16, -(-h // 16) * 16
+    enc = H264Encoder(wp, hp, qp=qp, gop=gop, intra_in_p=intra_in_p)
+    enc.sps.width, enc.sps.height = w, h       # conformance crop
+    if (wp, hp) != (w, h):
+        frames = [pad_to_mb(*f) for f in frames]
     det = CutDetector()
     cuts = {i for i, f in enumerate(frames) if det.feed(f[0])[1]}
     bs = enc.headers()
@@ -110,17 +115,20 @@ def ours_hevc(frames, w, h, qp, gop, device=False,
             for data, _, _, _ in enc.flush():
                 bs += data
         else:
-            cuts = [i for i, p in enumerate(plans) if p.force_idr]
-            start = 0
-            for stop in cuts + [len(frames)]:
-                while stop > start:
-                    end = min(start + RUN, stop)
-                    pend = enc.encode_run_async(
-                        frames=list(frames[start:end]),
-                        force_idr=(start in cuts))
-                    for p in pend:
-                        bs += p.result().data
-                    start = end
+            # per-frame dispatch, several frames in flight: the RD
+            # sweep cares about bytes, not throughput, and the
+            # frames-path run executables compile pathologically over
+            # the dev relay (>10 min per scan length) while the
+            # single-frame op compiles in seconds
+            cuts = {i for i, p in enumerate(plans) if p.force_idr}
+            pend = []
+            for i, f in enumerate(frames):
+                pend.append(enc.encode_frame_async(
+                    *f, force_idr=(i in cuts)))
+                if len(pend) > 4:
+                    bs += pend.pop(0).result().data
+            for p in pend:
+                bs += p.result().data
         return bs
     from ceracoder_tpu.codec.h265.rowslice import H265RowEncoder
     enc = H265RowEncoder(w, h, qp=qp, gop=gop, **opts)
@@ -403,7 +411,19 @@ def main():
 
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="rd_"))
-    frames = CLIPS[args.clip](w, h, args.frames)
+    # clip cache: 1080p film-clip synthesis costs ~1.3 s/frame in
+    # numpy; repeat invocations (per-tool sweeps) reuse the planes
+    cache = Path(tempfile.gettempdir()) / \
+        f"rdclip_{args.clip}_{w}x{h}_{args.frames}.npz"
+    if cache.exists():
+        z = np.load(cache)
+        frames = [(z[f"y{i}"], z[f"u{i}"], z[f"v{i}"])
+                  for i in range(args.frames)]
+    else:
+        frames = CLIPS[args.clip](w, h, args.frames)
+        np.savez(cache, **{f"{p}{i}": frames[i][j]
+                           for i in range(args.frames)
+                           for j, p in enumerate("yuv")})
     yuv = tmp / "src.yuv"
     with open(yuv, "wb") as f:
         for (y, u, v) in frames:
