@@ -73,11 +73,13 @@ class StallDetector:
 class Transport:
     """ADDR dispatch: SRT host, `udp`, or a .ts file path."""
 
-    def __init__(self, opts: CliOptions, latency: int):
+    def __init__(self, opts: CliOptions, latency: int,
+                 expected_bps: int = 0):
         self.kind = "file" if (opts.addr.endswith(".ts") or opts.addr == "-") \
             else ("udp" if opts.addr == "udp" else "srt")
         self.opts = opts
         self.latency = latency
+        self.expected_bps = expected_bps
         self.srt: Optional[SrtClient] = None
         self.udp = None
         self.file = None
@@ -99,7 +101,8 @@ class Transport:
         while not stop_flag():
             client = SrtClient(latency_ms=self.latency,
                                stream_id=self.opts.stream_id,
-                               payload_size=pkt)
+                               payload_size=pkt,
+                               expected_bps=self.expected_bps)
             try:
                 client.connect(self.opts.addr, self.opts.port)
                 print(f"SRT connected, negotiated latency "
@@ -254,7 +257,12 @@ class CeracoderApp:
                                            if self.audio is not None
                                            else 2))
         self.packer = TsPacker(pkt_size=pkt)
-        self.transport = Transport(opts, self.latency)
+        # seed libsrt's MAXBW=0 pacer with the configured ceiling
+        # (+TS/audio overhead margin) — see SrtClient.connect
+        self.transport = Transport(
+            opts, self.latency,
+            expected_bps=int(self.runner.config.max_bitrate * 1.3)
+            + 512_000)
         self.frames_sent = 0
         self.frames_collected = 0
         self.overlay_line = ""
@@ -605,7 +613,8 @@ class CeracoderApp:
         Overlay burn-in and scene-cut detection need host pixels and
         are skipped — this is the test-pattern/bench path (reference
         analog: pipeline/jetson/h265_test_pattern)."""
-        pending = []            # (PendingFrame, pts90)
+        from collections import deque
+
         period90 = int(90000 * self.source.fps_den
                        / self.source.fps_num)
         total = self.max_frames
@@ -613,9 +622,18 @@ class CeracoderApp:
             total = getattr(self.source, "num_frames", None)
         i0 = 0
         pts = 0
+        # several runs in flight: over a dev tunnel the D2H transfer
+        # serializes against device compute, so collecting run N-1
+        # right after dispatching run N still stalls; depth 3 keeps
+        # the device busy while two runs' transfers/entropy drain
+        # (~0.5 s of latency at 60 fps — inside a live encoder's
+        # buffering budget, and the pacer still emits on the frame
+        # grid)
+        depth = 3
+        pending: deque = deque()   # each: list of (PendingFrame, pts)
 
-        def drain(plist):
-            for pf, fpts in plist:
+        def drain_one():
+            for pf, fpts in pending.popleft():
                 if self.state.quit:
                     return
                 self._emit_frame(pf.result(), fpts, pacer)
@@ -629,14 +647,15 @@ class CeracoderApp:
             pfs = self.encoder.encode_run_async(
                 source=self.source, indices=range(i0, i0 + n),
                 qp=self.rate.current_qp)
-            newp = [(pf, pts + k * period90)
-                    for k, pf in enumerate(pfs)]
+            pending.append([(pf, pts + k * period90)
+                            for k, pf in enumerate(pfs)])
             pts += n * period90
             self.frames_collected += n
             i0 += n
-            drain(pending)       # overlap: host work vs device run
-            pending = newp
-        drain(pending)
+            if len(pending) >= depth:
+                drain_one()      # overlap: host work vs device runs
+        while pending and not self.state.quit:
+            drain_one()
 
 
 def main(argv=None) -> int:

@@ -285,10 +285,12 @@ class SrtClient:
 
     def __init__(self, latency_ms: int = 2000,
                  stream_id: Optional[str] = None,
-                 payload_size: int = 1316):
+                 payload_size: int = 1316,
+                 expected_bps: int = 0):
         self.latency_ms = latency_ms
         self.stream_id = stream_id
         self.payload_size = payload_size
+        self.expected_bps = expected_bps
         self.sock: Optional[SrtSocket] = None
         self.negotiated_latency: Optional[int] = None
 
@@ -297,6 +299,16 @@ class SrtClient:
         # tuning mirrors reference srt_client.c:49-86
         s.set_int64(SRTO_MAXBW, 0)           # auto from input rate
         s.set_int(SRTO_OHEADBW, SRT_MAX_OHEAD)
+        if self.expected_bps > 0:
+            # The reference leaves INPUTBW at 0 (the encoder rate is
+            # opaque to it, so libsrt estimates the input rate); here
+            # the rate controller OWNS the target bitrate, so seed the
+            # pacer with the configured maximum. Without this, a burst
+            # before the estimator converges is paced at the stale
+            # low estimate, the send buffer backs up, and the balancer
+            # reads self-inflicted congestion (observed: a 6 Mbps
+            # loopback stream pinned at ~1 Mbps pacing).
+            s.set_int64(SRTO_INPUTBW, self.expected_bps // 8)
         s.set_int(SRTO_LATENCY, self.latency_ms)
         if self.stream_id:
             s.set_str(SRTO_STREAMID, self.stream_id)
