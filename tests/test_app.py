@@ -323,3 +323,25 @@ def test_overlay_burn_in():
     assert (box == 100 // 2 + 16).all()
     # unknown glyphs fall back to blank, never crash
     assert burn_overlay(y, "~~unknown~~").shape == y.shape
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+def test_app_device_source_run_loop(tmp_path):
+    """The devtest jobspec routes through the device-side run loop
+    (_loop_pipelined_dev: frames generated on chip inside the encode
+    dispatch, several runs in flight) and the emitted TS decodes."""
+    job = tmp_path / "job.ini"
+    job.write_text("[source]\nkind = devtest\nwidth = 128\n"
+                   "height = 96\nfps = 30\n\n[encode]\n"
+                   "codec = h264\ngop = 8\nrun = 4\n")
+    out = tmp_path / "out.ts"
+    opts = parse_args([str(job), str(out), "0"])
+    app = CeracoderApp(opts, max_frames=10, realtime=False)
+    assert hasattr(app.source, "gen_fn")
+    assert app.run() == 0
+    assert app.frames_sent == 10
+    r = subprocess.run([str(ORACLE), str(out), str(tmp_path / "o.yuv")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0
+    raw = np.fromfile(tmp_path / "o.yuv", np.uint8)
+    assert raw.size >= 10 * 128 * 96 * 3 // 2
