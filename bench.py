@@ -184,13 +184,16 @@ def bench_full_loop(w, h, codec: str):
         times.append(time.time())
 
     app._emit_frame = timed_emit
-    app.run()
-    if len(times) < warm + 2:
-        raise RuntimeError(f"only {len(times)} frames emitted")
-    fps = (len(times) - warm) / (times[-1] - times[warm - 1])
-    if listener is not None and listener.naccept == 0:
-        raise RuntimeError("loopback SRT listener saw no connection")
-    os.unlink(jf.name)
+    try:
+        app.run()
+        if len(times) < warm + 2:
+            raise RuntimeError(f"only {len(times)} frames emitted")
+        fps = (len(times) - warm) / (times[-1] - times[warm - 1])
+        if listener is not None and listener.naccept == 0:
+            raise RuntimeError(
+                "loopback SRT listener saw no connection")
+    finally:
+        os.unlink(jf.name)
     return fps
 
 

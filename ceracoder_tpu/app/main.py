@@ -617,7 +617,8 @@ class CeracoderApp:
 
         period90 = int(90000 * self.source.fps_den
                        / self.source.fps_num)
-        total = self.max_frames
+        # falsy max_frames means unlimited, like the other run loops
+        total = self.max_frames or None
         if total is None:
             total = getattr(self.source, "num_frames", None)
         i0 = 0

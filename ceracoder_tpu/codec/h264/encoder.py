@@ -174,8 +174,11 @@ class H264Encoder:
         # partial scene change; reference: x264 always considers intra
         # in P). Default on for the CABAC entropy paths; the CAVLC
         # device bit-packer stays all-inter.
-        self.intra_in_p = cabac if intra_in_p is None \
-            else (intra_in_p and cabac)
+        if intra_in_p and not cabac:
+            raise ValueError("intra_in_p requires cabac=True (the "
+                             "CAVLC device bit-packer codes all-inter "
+                             "P slices)")
+        self.intra_in_p = cabac if intra_in_p is None else intra_in_p
         # per-row packed capacity in 32-bit words; overflow falls back to
         # the host entropy path for that frame (detected exactly)
         cap = row_capacity_bytes or max(2048, self.mbw * 192)
@@ -627,7 +630,10 @@ class H264Encoder:
                                         self.mbw, idr, cap, chunk)
             if arrays is None:
                 # capacity overflow: redo this frame on the exact
-                # dense host path, referencing the in-run recon
+                # dense host path, referencing the in-run recon; an
+                # overflowing frame transferred no valid extra chunks,
+                # so drop the prefetch hint (cf. the HEVC twin)
+                self._prev_cabac_extra = 0
                 yj, uj, vj = planes_of(f)
                 ref = (run_ref if f == 0 or recons is None
                        else tuple(r[f - 1] for r in recons))

@@ -308,6 +308,10 @@ def synth_film_clip(w, h, n_frames, seed=23, pan=(1.8, 0.5),
     return frames
 
 
+# bump when any clip synthesis (parameters or code) changes, so
+# cached planes in the tempdir are invalidated
+CLIP_CACHE_VERSION = 1
+
 CLIPS = {"pan": lambda w, h, n: synth_motion_clip(w, h, n),
          "detail": synth_detail_clip,
          "cuts": synth_cuts_clip,
@@ -412,9 +416,13 @@ def main():
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="rd_"))
     # clip cache: 1080p film-clip synthesis costs ~1.3 s/frame in
-    # numpy; repeat invocations (per-tool sweeps) reuse the planes
-    cache = Path(tempfile.gettempdir()) / \
-        f"rdclip_{args.clip}_{w}x{h}_{args.frames}.npz"
+    # numpy; repeat invocations (per-tool sweeps) reuse the planes.
+    # The key carries CLIP_CACHE_VERSION (bump on any synthesis
+    # change) and the uid so stale or foreign caches never poison a
+    # measurement.
+    cache = Path(tempfile.gettempdir()) / (
+        f"rdclip_v{CLIP_CACHE_VERSION}_{os.getuid()}_"
+        f"{args.clip}_{w}x{h}_{args.frames}.npz")
     if cache.exists():
         z = np.load(cache)
         frames = [(z[f"y{i}"], z[f"u{i}"], z[f"v{i}"])
